@@ -1,0 +1,138 @@
+"""Hierarchical spatial tiling ("WWT cells") — H3-calibrated quadtree.
+
+No h3/s2 libraries exist in this environment (SURVEY.md §7 hard-part 6), so
+the engine defines its own deterministic hierarchy with the three operations
+the pipeline needs — ``cell(lat, lon, res)``, ``parent(cell)``,
+``k_ring(cell, k)`` — plus a polygon covering (the S2-covering analog).
+
+Scheme
+------
+Aperture-4 quadtree over the WGS84 lat/lon rectangle: at level ``L`` the
+world splits into ``2**(L+1)`` columns × ``2**L`` rows of square
+``180/2**L``-degree cells. Cell ids pack ``(level, x, y)`` into one int64:
+``id = level<<52 | x<<26 | y`` (levels ≤ 24, x < 2**25, y < 2**24).
+
+H3 calibration (mean cell areas: res7 ≈ 5.16 km², res8 ≈ 0.737 km²,
+res9 ≈ 0.105 km²): H3 res 7/8/9 map to quad levels 13/15/16 (equatorial cell
+areas 5.96 / 0.373 / 0.093 km² — nearest power-of-4 match, documented
+deviation; exact-H3 parity is not required, parity is against this spec).
+
+The ε-join grid for distance joins (J3-J5, J7) is the same quadtree at the
+deepest level whose cell edge (in meters, at the data's max |lat| for
+longitude) still covers the search radius, so "within ε" pairs always share
+a cell or ring-1 neighbors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LEVEL_SHIFT = np.int64(52)
+X_SHIFT = np.int64(26)
+XY_MASK = np.int64((1 << 26) - 1)
+MAX_LEVEL = 24
+
+H3_RES_TO_LEVEL = {7: 13, 8: 15, 9: 16}
+
+_M_PER_DEG_LAT = 110574.0  # conservative meters per degree latitude
+_M_PER_DEG_LON_EQ = 111320.0
+
+
+def cell_width_deg(level: int) -> float:
+    return 180.0 / float(1 << level)
+
+
+def cell_id(lats: np.ndarray, lons: np.ndarray, level: int) -> np.ndarray:
+    """Vectorized (lat, lon) → int64 cell id at a quad level."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level {level} out of range")
+    w = cell_width_deg(level)
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    nx = np.int64(2 << level)
+    ny = np.int64(1 << level)
+    x = np.clip(np.floor((lons + 180.0) / w).astype(np.int64), 0, nx - 1)
+    y = np.clip(np.floor((lats + 90.0) / w).astype(np.int64), 0, ny - 1)
+    return (np.int64(level) << LEVEL_SHIFT) | (x << X_SHIFT) | y
+
+
+def cell_id_h3res(lats: np.ndarray, lons: np.ndarray, h3_res: int) -> np.ndarray:
+    return cell_id(lats, lons, H3_RES_TO_LEVEL[h3_res])
+
+
+def cell_level(cells: np.ndarray) -> np.ndarray:
+    return (np.asarray(cells, dtype=np.int64) >> LEVEL_SHIFT).astype(np.int64)
+
+
+def cell_xy(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    c = np.asarray(cells, dtype=np.int64)
+    return (c >> X_SHIFT) & XY_MASK, c & XY_MASK
+
+
+def parent_cell(cells: np.ndarray, parent_level: int) -> np.ndarray:
+    """Ancestor cell at a coarser level (hierarchy rollup, SURVEY.md A10)."""
+    c = np.asarray(cells, dtype=np.int64)
+    lvl = cell_level(c)
+    d = lvl - np.int64(parent_level)
+    if np.any(d < 0):
+        raise ValueError("parent_level must be coarser (smaller) than cell level")
+    x, y = cell_xy(c)
+    return (np.int64(parent_level) << LEVEL_SHIFT) | ((x >> d) << X_SHIFT) | (y >> d)
+
+
+def cell_center(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    c = np.asarray(cells, dtype=np.int64)
+    lvl = cell_level(c)
+    w = 180.0 / (np.int64(1) << lvl).astype(np.float64)
+    x, y = cell_xy(c)
+    return (y.astype(np.float64) + 0.5) * w - 90.0, (x.astype(np.float64) + 0.5) * w - 180.0
+
+
+def k_ring(cells: np.ndarray, k: int = 1) -> np.ndarray:
+    """(n, (2k+1)**2) neighbor ids incl. self; lon wraps, lat clips (clipped
+    rows repeat the home cell so the output stays rectangular — callers
+    dedup via distinct())."""
+    c = np.asarray(cells, dtype=np.int64)
+    lvl = cell_level(c)
+    x, y = cell_xy(c)
+    nx = (np.int64(2) << lvl)
+    ny = (np.int64(1) << lvl)
+    offs = np.arange(-k, k + 1, dtype=np.int64)
+    dx = np.repeat(offs, 2 * k + 1)
+    dy = np.tile(offs, 2 * k + 1)
+    X = (x[:, None] + dx[None, :]) % nx[:, None]
+    Y = y[:, None] + dy[None, :]
+    valid = (Y >= 0) & (Y < ny[:, None])
+    X = np.where(valid, X, x[:, None])
+    Y = np.where(valid, Y, y[:, None])
+    return (lvl[:, None] << LEVEL_SHIFT) | (X << X_SHIFT) | Y
+
+
+def join_grid_level(radius_m: float, max_abs_lat_deg: float) -> int:
+    """Deepest level whose cell edge ≥ radius in BOTH axes anywhere in the
+    data's latitude band — guarantees ε-pairs share a ring-1 neighborhood."""
+    max_abs_lat_deg = min(abs(max_abs_lat_deg), 89.0)
+    coslat = max(np.cos(np.radians(max_abs_lat_deg)), 0.01)
+    need_deg = max(radius_m / _M_PER_DEG_LAT, radius_m / (_M_PER_DEG_LON_EQ * coslat))
+    level = int(np.floor(np.log2(180.0 / need_deg)))
+    return max(0, min(MAX_LEVEL, level))
+
+
+def polygon_covering(ring_lats: np.ndarray, ring_lons: np.ndarray, level: int) -> np.ndarray:
+    """All cells at ``level`` whose bbox intersects the polygon's bbox, then
+    filtered to cells whose center or any corner is inside OR that intersect
+    the ring bbox boundary — a conservative covering (S2-covering analog,
+    graft-only; used to prune point-in-polygon candidates)."""
+    ring_lats = np.asarray(ring_lats, dtype=np.float64)
+    ring_lons = np.asarray(ring_lons, dtype=np.float64)
+    w = cell_width_deg(level)
+    lat_lo, lat_hi = ring_lats.min(), ring_lats.max()
+    lon_lo, lon_hi = ring_lons.min(), ring_lons.max()
+    y0 = int(np.floor((lat_lo + 90.0) / w))
+    y1 = int(np.floor((lat_hi + 90.0) / w))
+    x0 = int(np.floor((lon_lo + 180.0) / w))
+    x1 = int(np.floor((lon_hi + 180.0) / w))
+    xs = np.arange(x0, x1 + 1, dtype=np.int64)
+    ys = np.arange(y0, y1 + 1, dtype=np.int64)
+    X, Y = np.meshgrid(xs, ys)
+    return (np.int64(level) << LEVEL_SHIFT) | (X.ravel() << X_SHIFT) | Y.ravel()

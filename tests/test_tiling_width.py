@@ -1,0 +1,127 @@
+import numpy as np
+
+from osmwaterwayextractor_spark.functions.tiling import (
+    H3_RES_TO_LEVEL,
+    cell_center,
+    cell_id,
+    cell_id_h3res,
+    cell_level,
+    cell_width_deg,
+    join_grid_level,
+    k_ring,
+    parent_cell,
+    polygon_covering,
+)
+from osmwaterwayextractor_spark.functions.width import parse_width
+
+# FIXTURES.md F-E width-parser unit table
+WIDTH_TABLE = [
+    ("5 m", 5.0, "tag"),
+    ("5m", 5.0, "tag"),
+    ("5.5 m", 5.5, "tag"),
+    ("15 ft", 4.572, "tag"),
+    ("15 feet", 4.572, "tag"),
+    ("7", 7.0, "tag"),
+    ("0", None, "tag"),
+    ("2000", None, "tag"),
+    ("-3", None, "tag"),
+    ("abc", None, "tag"),
+    ("", None, "none"),
+]
+
+
+def test_width_parser_python_twin():
+    for raw, want_m, want_src in WIDTH_TABLE:
+        got_raw, got_m, got_src = parse_width(raw)
+        assert got_raw == raw
+        assert got_src == want_src, raw
+        if want_m is None:
+            assert got_m is None, raw
+        else:
+            assert got_m is not None and abs(got_m - want_m) < 1e-9, raw
+
+
+def test_width_parser_catalyst_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from osmwaterwayextractor_spark.functions.width import width_columns
+
+    extra = ["10 m", "3 m", "2 m", "1000", "1000.0001", "0.5", "5 miles", " 12 ", "1e2 m"]
+    rows = [(r,) for r, _, _ in WIDTH_TABLE] + [(r,) for r in extra] + [(None,)]
+    df = spark.createDataFrame(rows, ["w"])
+    raw_c, m_c, src_c = width_columns(F.col("w"))
+    got = df.select(raw_c.alias("raw"), m_c.alias("m"), src_c.alias("src")).collect()
+    for (w,), row in zip(rows, got):
+        p_raw, p_m, p_src = parse_width(w)
+        assert row["raw"] == p_raw, w
+        assert row["src"] == p_src, w
+        if p_m is None:
+            assert row["m"] is None, w
+        else:
+            assert row["m"] is not None and abs(row["m"] - p_m) < 1e-9, w
+
+
+def test_cell_roundtrip_and_parent():
+    rng = np.random.default_rng(9)
+    lats = rng.uniform(-85, 85, 1000)
+    lons = rng.uniform(-180, 180, 1000)
+    for res in (7, 8, 9):
+        cells = cell_id_h3res(lats, lons, res)
+        lvl = H3_RES_TO_LEVEL[res]
+        assert np.all(cell_level(cells) == lvl)
+        clat, clon = cell_center(cells)
+        w = cell_width_deg(lvl)
+        assert np.all(np.abs(clat - lats) <= w)
+        assert np.all(np.abs(clon - lons) <= w)
+    # hierarchy: res9 cell's parent at res7 level == direct res7 cell
+    c9 = cell_id_h3res(lats, lons, 9)
+    c7 = cell_id_h3res(lats, lons, 7)
+    assert np.array_equal(parent_cell(c9, H3_RES_TO_LEVEL[7]), c7)
+
+
+def test_k_ring_contains_neighbors():
+    c = cell_id(np.array([52.5]), np.array([13.4]), 13)
+    ring = k_ring(c, 1)
+    assert ring.shape == (1, 9)
+    assert c[0] in ring[0]
+    w = cell_width_deg(13)
+    # a point one cell east lands in the ring
+    c_east = cell_id(np.array([52.5]), np.array([13.4 + w]), 13)
+    assert c_east[0] in ring[0]
+    # lon wraparound at the antimeridian
+    c_am = cell_id(np.array([0.0]), np.array([179.9999]), 13)
+    ring_am = k_ring(c_am, 1)
+    c_wrap = cell_id(np.array([0.0]), np.array([-179.9999]), 13)
+    assert c_wrap[0] in ring_am[0]
+
+
+def test_join_grid_guarantee():
+    """Points within radius always share a ring-1 neighborhood at the join level."""
+    rng = np.random.default_rng(13)
+    radius = 6.0
+    for max_lat in (10.0, 52.6, 75.0):
+        level = join_grid_level(radius, max_lat)
+        w = cell_width_deg(level)
+        lat0 = rng.uniform(-max_lat, max_lat, 300)
+        lon0 = rng.uniform(-179, 179, 300)
+        # random displacements of exactly ~radius meters
+        ang = rng.uniform(0, 2 * np.pi, 300)
+        dlat = radius * np.cos(ang) / 110574.0
+        dlon = radius * np.sin(ang) / (111320.0 * np.cos(np.radians(np.abs(lat0) + 0.001)))
+        lat1, lon1 = lat0 + dlat, lon0 + dlon
+        c0 = cell_id(lat0, lon0, level)
+        rings = k_ring(cell_id(lat1, lon1, level), 1)
+        assert all(c0[i] in rings[i] for i in range(300))
+        assert w * 110574.0 >= radius  # cell edge covers the radius
+
+
+def test_polygon_covering_superset():
+    ring_lat = np.array([52.49, 52.49, 52.55, 52.55])
+    ring_lon = np.array([13.39, 13.45, 13.45, 13.39])
+    level = 13
+    cover = set(polygon_covering(ring_lat, ring_lon, level).tolist())
+    rng = np.random.default_rng(17)
+    lats = rng.uniform(52.49, 52.55, 500)
+    lons = rng.uniform(13.39, 13.45, 500)
+    cells = cell_id(lats, lons, level)
+    assert all(int(c) in cover for c in cells)
