@@ -90,10 +90,46 @@ def segment_intersections(
     qpx = b1[:, 1] - a1[:, 1]
     qpy = b1[:, 0] - a1[:, 0]
     denom = rx * sy - ry * sx
+    # GEOS decides parallelism with exact predicates; in plain float64 two
+    # nominally-collinear segments leave a ~1e-16 residual denominator that
+    # would fabricate a bogus crossing inside the overlap. Segments whose
+    # normalized cross product is below 1e-9 (angle < 1 nrad) are treated as
+    # parallel — the documented spec for this engine. Parallel pairs still
+    # produce a Point when they are collinear and touch at a single point
+    # (shapely returns Point there, LineString for overlaps → ignored,
+    # reference :1895-1896).
+    scale = np.sqrt((rx * rx + ry * ry) * (sx * sx + sy * sy))
+    nonpar = np.abs(denom) > 1e-9 * scale
     with np.errstate(divide="ignore", invalid="ignore"):
-        t = np.where(denom != 0.0, (qpx * sy - qpy * sx) / denom, np.nan)
-        u = np.where(denom != 0.0, (qpx * ry - qpy * rx) / denom, np.nan)
-    hit = (denom != 0.0) & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+        t = np.where(nonpar, (qpx * sy - qpy * sx) / np.where(nonpar, denom, 1.0), np.nan)
+        u = np.where(nonpar, (qpx * ry - qpy * rx) / np.where(nonpar, denom, 1.0), np.nan)
+    hit = nonpar & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+
+    # collinear single-point touch: project B's endpoints onto A's parameter
+    r_len_sq = rx * rx + ry * ry
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lateral = np.abs(qpx * ry - qpy * rx) / np.where(r_len_sq > 0, np.sqrt(r_len_sq), 1.0)
+        tb1 = np.where(r_len_sq > 0, (qpx * rx + qpy * ry) / r_len_sq, np.inf)
+        tb2 = np.where(
+            r_len_sq > 0,
+            ((b2[:, 1] - a1[:, 1]) * rx + (b2[:, 0] - a1[:, 0]) * ry) / r_len_sq,
+            np.inf,
+        )
+    eps_t = 1e-9
+    seg_len = np.sqrt(r_len_sq)
+    lo = np.maximum(0.0, np.minimum(tb1, tb2))
+    hi = np.minimum(1.0, np.maximum(tb1, tb2))
+    touch = (
+        ~nonpar
+        & (r_len_sq > 0)
+        & (lateral <= 1e-9 * np.maximum(seg_len, 1e-300))
+        & (hi - lo >= -eps_t)
+        & (hi - lo <= eps_t)
+    )
+    t = np.where(touch, np.clip((lo + hi) / 2.0, 0.0, 1.0), t)
+    # the touching B endpoint: whichever of tb1/tb2 falls inside [0,1]
+    u = np.where(touch, np.where(np.abs(tb1 - np.clip(tb1, 0.0, 1.0)) <= np.abs(tb2 - np.clip(tb2, 0.0, 1.0)), 0.0, 1.0), u)
+    hit = hit | touch
     lat = a1[:, 0] + t * ry
     lon = a1[:, 1] + t * rx
     # snap exact endpoint touches to the original vertices
