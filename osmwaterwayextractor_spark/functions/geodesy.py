@@ -31,7 +31,10 @@ def round_coords(arr: np.ndarray, precision: int) -> np.ndarray:
     scale = 10.0 ** precision
     x = np.asarray(arr, dtype=np.float64)
     scaled = np.rint(x.astype(np.longdouble) * scale).astype(np.float64)
-    return scaled / scale
+    out = scaled / scale
+    # normalize -0.0 → 0.0: Python dicts/Spark joins conflate them but their
+    # reprs differ, which would fork the node-id hash
+    return np.where(out == 0.0, 0.0, out)
 
 
 def geodesic_m(lat1, lon1, lat2, lon2, iterations: int = 200, tol: float = 1e-12) -> np.ndarray:
