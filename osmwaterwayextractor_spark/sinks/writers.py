@@ -1,0 +1,176 @@
+"""Output sinks S3-S8 (reference OutputManager, osm_waterway_extractor.py:2747-2963).
+
+All sinks take the engine's internal frames (edges with ``lats``/``lons``
+double arrays) and are ordinary DataFrame writers — distributed, codegen'd,
+no driver materialization except the single-file GeoJSON variant (guarded)
+and the JSON manifests.
+
+Deviations from the reference, documented:
+- CSV serializes ``coordinates`` as compact JSON ``[[lat,lon],...]`` rather
+  than a Python-repr string (:2858-2876 uses pandas' default str()).
+- JSON-GZ (S6) and mobile (S7) positional/sequential ids use a deterministic
+  sort (node id / edge id) + row_number instead of arrival order — stable and
+  dense, SURVEY.md §7 hard-part 3.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def edges_with_coord_structs(edges: DataFrame) -> DataFrame:
+    """Public edge schema (FIXTURES.md F-C): array<struct<lat,lon>>."""
+    return edges.withColumn(
+        "coordinates",
+        F.arrays_zip(F.col("lats").alias("lat"), F.col("lons").alias("lon")),
+    ).drop("lats", "lons")
+
+
+def save_parquet(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
+    """S3 (:2841-2856): snappy parquet."""
+    nodes.write.mode("overwrite").parquet(os.path.join(out_dir, "nodes.parquet"))
+    edges_with_coord_structs(edges).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "edges.parquet")
+    )
+
+
+def save_csv(nodes: DataFrame, edges: DataFrame, out_dir: str, compress: bool = True) -> None:
+    """S4 (:2858-2876): csv(.gz); nested columns JSON-encoded."""
+    opts = {"header": "true"}
+    if compress:
+        opts["compression"] = "gzip"
+    nodes.write.mode("overwrite").options(**opts).csv(os.path.join(out_dir, "nodes.csv"))
+    flat = edges.withColumn(
+        "coordinates",
+        F.to_json(F.arrays_zip(F.col("lats").alias("lat"), F.col("lons").alias("lon"))),
+    ).drop("lats", "lons")
+    flat.write.mode("overwrite").options(**opts).csv(os.path.join(out_dir, "edges.csv"))
+
+
+def geojson_features(edges: DataFrame) -> DataFrame:
+    """S5 (:2878-2910): one GeoJSON Feature per edge, (lat,lon)→(lon,lat)
+    flip in the sink only. Distributed: one JSON text column."""
+    geom = F.struct(
+        F.lit("LineString").alias("type"),
+        F.zip_with("lons", "lats", lambda lon, lat: F.array(lon, lat)).alias("coordinates"),
+    )
+    props = F.struct(
+        F.col("id"), F.col("from_node_id"), F.col("to_node_id"),
+        F.col("length_m"), F.col("name"), F.col("type").alias("waterway_type"),
+        F.col("width_m"), F.col("original_way_id"),
+    )
+    feature = F.struct(F.lit("Feature").alias("type"), geom.alias("geometry"), props.alias("properties"))
+    return edges.select(F.to_json(feature).alias("feature_json"))
+
+
+def save_geojson(edges: DataFrame, out_path: str, single_file_limit: int = 1_000_000) -> None:
+    """Single-file FeatureCollection (reference format). Guarded driver
+    collect — for larger outputs use ``geojson_features`` (JSONL) instead."""
+    feats = geojson_features(edges)
+    n = feats.count()
+    if n > single_file_limit:
+        raise ValueError(
+            f"{n} features exceed single-file GeoJSON guard; write geojson_features as JSONL"
+        )
+    rows = [r["feature_json"] for r in feats.collect()]
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write('{"type": "FeatureCollection", "features": [')
+        f.write(",".join(rows))
+        f.write("]}")
+
+
+def jsongz_frames(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """S6 (:2784-2839): nodes as positional [lat, lon]; edges reference nodes
+    by integer index. Index = row_number-1 over node id (deterministic)."""
+    w = Window.orderBy("id")
+    node_idx = nodes.select("id", "lat", "lon", (F.row_number().over(w) - 1).alias("node_index"))
+    nodes_out = node_idx.orderBy("node_index").select("node_index", "lat", "lon")
+    e = edges.select("id", "from_node_id", "to_node_id", "length_m", "lats", "lons")
+    e = (
+        e.join(
+            node_idx.select(F.col("id").alias("from_node_id"), F.col("node_index").alias("start")),
+            "from_node_id",
+        )
+        .join(
+            node_idx.select(F.col("id").alias("to_node_id"), F.col("node_index").alias("end")),
+            "to_node_id",
+        )
+        .select(
+            "id",
+            "start",
+            "end",
+            F.col("length_m").alias("length"),
+            F.arrays_zip(F.col("lats").alias("lat"), F.col("lons").alias("lon")).alias("coordinates"),
+        )
+    )
+    return nodes_out, e
+
+
+def save_jsongz(nodes: DataFrame, edges: DataFrame, out_path: str) -> None:
+    """Single-file legacy graph json.gz (driver-side assembly, small outputs)."""
+    import gzip
+
+    nodes_out, edges_out = jsongz_frames(nodes, edges)
+    nlist = [[r["lat"], r["lon"]] for r in nodes_out.collect()]
+    elist = [
+        {
+            "start": r["start"],
+            "end": r["end"],
+            "length": r["length"],
+            "coordinates": [[c["lat"], c["lon"]] for c in r["coordinates"]],
+        }
+        for r in edges_out.collect()
+    ]
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with gzip.open(out_path, "wt") as f:
+        json.dump({"nodes": nlist, "edges": elist}, f)
+
+
+def mobile_frames(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """S7 (:2912-2958): dense sequential int ids (1-based), deterministic order."""
+    wn = Window.orderBy("id")
+    nmap = nodes.select("id", "lat", "lon", F.row_number().over(wn).alias("mobile_id"))
+    we = Window.orderBy("id")
+    emap = edges.withColumn("mobile_edge_id", F.row_number().over(we))
+    e = (
+        emap.join(nmap.select(F.col("id").alias("from_node_id"), F.col("mobile_id").alias("from_mobile_id")), "from_node_id")
+        .join(nmap.select(F.col("id").alias("to_node_id"), F.col("mobile_id").alias("to_mobile_id")), "to_node_id")
+        .select(
+            "mobile_edge_id", "from_mobile_id", "to_mobile_id", "length_m",
+            "name", "type", "width_m",
+        )
+    )
+    return nmap.select("mobile_id", "lat", "lon"), e
+
+
+def save_mobile_csv(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
+    n, e = mobile_frames(nodes, edges)
+    n.write.mode("overwrite").option("header", "true").csv(os.path.join(out_dir, "mobile_nodes.csv"))
+    e.write.mode("overwrite").option("header", "true").csv(os.path.join(out_dir, "mobile_edges.csv"))
+
+
+def save_manifest(out_path: str, config, qa: dict, extra: Optional[dict] = None) -> None:
+    """S8 (:2966-3035): reproducibility manifest."""
+    import dataclasses
+    import hashlib
+
+    cfg = dataclasses.asdict(config)
+    blob = json.dumps(cfg, sort_keys=True, default=list)
+    manifest = {
+        "engine": "osmwaterwayextractor_spark",
+        "config": cfg,
+        "param_hash": hashlib.sha256(blob.encode()).hexdigest()[:16],
+        "qa": qa,
+    }
+    if extra:
+        manifest.update(extra)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(manifest, f, indent=2, default=str)
