@@ -1,0 +1,132 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: the full waterway-graph pipeline (parse → assemble → simplify →
+intersect → cluster → edges → nodes) over deterministic interleaved docs
+scaled to the sf of $SPARK_GRAFT_SF_DIR, plus tile assignment/rollup and a
+set of heavy relational/dedup/ANN queries on the sf tables.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_DOCS (override doc count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_session(cpus: int):
+    from osmwaterwayextractor_spark.plans.pipeline import spark_session
+
+    return spark_session(
+        app="osmwwe-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+        extra={"spark.driver.memory": "48g", "spark.sql.autoBroadcastJoinThreshold": "64MB"},
+    )
+
+
+def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from osmwaterwayextractor_spark import entry_queries as EQ
+    from osmwaterwayextractor_spark.config import EngineConfig
+    from osmwaterwayextractor_spark.operators.tiles import (
+        channel_density_rollup,
+        with_edge_cells,
+    )
+    from osmwaterwayextractor_spark.plans.pipeline import WaterwayEngine
+    from osmwaterwayextractor_spark.sources.docsgen import DocsGenParams, docs_dataframe
+
+    timings: dict[str, float] = {}
+
+    params = DocsGenParams(seed=42, mega_every=200, mega_refs=20000)
+    cfg = EngineConfig(filter_waterway_types=False)
+
+    # materialize the input once so generation isn't measured
+    t0 = time.time()
+    docs = docs_dataframe(spark, n_docs, params).cache()
+    n_spans = docs.select(F.sum(F.size("spans"))).collect()[0][0]
+    timings["docs_generate"] = time.time() - t0
+
+    t0 = time.time()
+    g = WaterwayEngine(cfg).build_graph(docs, spark)
+    edges = g.edges.cache()
+    n_edges = edges.count()
+    pipeline_sec = time.time() - t0
+    timings["waterway_pipeline"] = pipeline_sec
+
+    t0 = time.time()
+    rollup = channel_density_rollup(with_edge_cells(edges, cfg), cfg)
+    rollup.count()
+    tile_sec = time.time() - t0
+    timings["tile_assign_rollup"] = tile_sec
+
+    # relational / dedup / ANN headline queries on the sf tables
+    for name in [
+        "agg_stats",
+        "salted_join",
+        "multi_join",
+        "epsilon_pairs",
+        "knn_top1",
+        "exact_dedup",
+        "token_count",
+        "langid",
+        "lsh_ann",
+        "minhash_pairs",
+    ]:
+        q = EQ.queries()[name]
+        t0 = time.time()
+        df = q(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = time.time() - t0
+
+    docs.unpersist()
+    return {
+        "n_docs": n_docs,
+        "n_spans": int(n_spans),
+        "n_edges": int(n_edges),
+        "edges_per_sec": n_edges / pipeline_sec if pipeline_sec > 0 else 0.0,
+        "tile_assign_sec": tile_sec,
+        "timings": timings,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    n_docs = int(os.environ.get("SPARK_GRAFT_DOCS", str(max(int(40000 * sf), 50))))
+
+    spark = build_session(cpus)
+    try:
+        res = run_bench(spark, sf_dir, n_docs)
+    finally:
+        spark.stop()
+
+    total = sum(res["timings"].values()) - res["timings"]["docs_generate"]
+    out = {
+        "metric": "waterway_pipeline_plus_queries_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in res["timings"].items()},
+        "sf": sf,
+        "cpus": cpus,
+        "n_docs": res["n_docs"],
+        "n_spans": res["n_spans"],
+        "n_edges": res["n_edges"],
+        "edges_per_sec": round(res["edges_per_sec"], 2),
+        "tile_assign_sec": round(res["tile_assign_sec"], 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,808 @@
+"""Driver-contract queries: one entry per SURVEY.md §2 operator class.
+
+Each SQL-checkable query has a DuckDB oracle twin with IDENTICAL column
+names; cross-engine float hazards are neutralized by construction:
+
+- double SUM/AVG reassociate differently per engine → aggregate as exact
+  ``DECIMAL(18,4)`` then cast the result to double (value < 2^53 ⇒ exact);
+- float32 embedding elements → cast to double BEFORE any product;
+- timestamps → wall-clock strings (no epoch-convention exposure);
+- rankings order by (rounded metric, unique key) so last-ulp noise cannot
+  flip rank assignments.
+
+Waterway-pipeline queries (the engine's core) return real results but have
+no SQL twin (their input is the synthesized interleaved-doc table, not a
+DuckDB view) — the oracle-parity pytest suite is their correctness gate;
+the driver records rows-only checks for them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .config import EngineConfig
+from .functions.width import width_columns, width_sql
+from .operators import dedup, similarity, textstats
+from .operators.tiles import cell_col, parent_cell_col
+
+# ---------------------------------------------------------------------------
+# helpers
+
+DEC = "decimal(18,4)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col) -> F.Column:
+    """Order-independent exact sum of a double column, returned as double."""
+    return F.sum(F.col(col).cast(DEC)).cast("double")
+
+
+# deterministic derived geo points (integer math, bit-identical everywhere)
+LAT_SQL = "((c_custkey * 2654435761) % 2000) / 10000.0 + 50.0"
+LON_SQL = "((c_custkey * 2246822519) % 3000) / 10000.0 + 13.0"
+S_LAT_SQL = "((s_suppkey * 2654435761) % 2000) / 10000.0 + 50.0"
+S_LON_SQL = "((s_suppkey * 2246822519) % 3000) / 10000.0 + 13.0"
+DIST_SQL = (
+    "sqrt(power((lat_b - lat_a) * 111000.0, 2) + "
+    "power((lon_b - lon_a) * 111000.0 * cos(radians((lat_a + lat_b) / 2)), 2))"
+)
+
+def _width_raw_sql(strtype: str) -> str:
+    return (
+        "(CASE p_partkey % 6 "
+        f"WHEN 0 THEN cast(p_size as {strtype}) || ' m' "
+        f"WHEN 1 THEN cast(p_size as {strtype}) || 'm' "
+        f"WHEN 2 THEN cast(p_size as {strtype}) || ' ft' "
+        f"WHEN 3 THEN cast(p_size * 250 as {strtype}) "
+        "WHEN 4 THEN 'abc' "
+        "ELSE '' END)"
+    )
+
+
+WIDTH_RAW_SQL = _width_raw_sql("string")  # Spark dialect
+WIDTH_RAW_SQL_DUCK = _width_raw_sql("varchar")
+
+# language-ID CASE shared verbatim by Spark (F.expr) and DuckDB
+def _hits_sql(tok: str) -> str:
+    pad = f"' ' || lower(text) || ' '"
+    needle = f"' {tok} '"
+    return f"cast((length({pad}) - length(replace({pad}, {needle}, ''))) / {len(tok) + 2} as bigint)"
+
+
+_LANG_HITS = {
+    lang: " + ".join(_hits_sql(t) for t in toks)
+    for lang, toks in sorted(textstats.LANG_MARKERS.items())
+}
+LANG_CASE_SQL = (
+    "(CASE WHEN hits_en = 0 AND hits_de = 0 AND hits_fr = 0 AND hits_es = 0 THEN 'unknown' "
+    "WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN "
+    "  (CASE WHEN hits_es = hits_en THEN 'es' WHEN hits_fr = hits_en THEN 'fr' "
+    "        WHEN hits_de = hits_en THEN 'de' ELSE 'en' END) "
+    "WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN "
+    "  (CASE WHEN hits_es = hits_de THEN 'es' WHEN hits_fr = hits_de THEN 'fr' ELSE 'de' END) "
+    "WHEN hits_fr >= hits_es THEN (CASE WHEN hits_es = hits_fr THEN 'es' ELSE 'fr' END) "
+    "ELSE 'es' END)"
+)
+
+
+# ---------------------------------------------------------------------------
+# SQL-checked queries
+
+def q_filter_project(spark, sf_dir):
+    """P1/P2/P5: predicate + projection, pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_quantity") >= 45) & (F.col("l_shipdate") < "1995-03-15")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+WHERE l_quantity >= 45 AND l_shipdate < TIMESTAMP '1995-03-15'
+"""
+
+
+def q_width_parse(spark, sf_dir):
+    """F7: the reference width-tag parser over constructed raw strings."""
+    part = _t(spark, sf_dir, "part").withColumn("width_input", F.expr(WIDTH_RAW_SQL))
+    raw_c, m_c, src_c = width_columns(F.col("width_input"))
+    return part.select(
+        "p_partkey",
+        raw_c.alias("width_raw"),
+        F.round(m_c, 6).alias("width_m"),
+        src_c.alias("width_source"),
+    )
+
+
+def _sql_width_parse():
+    w = width_sql(WIDTH_RAW_SQL_DUCK)
+    return f"""
+SELECT p_partkey,
+       {w['width_raw']} AS width_raw,
+       round({w['width_m']}, 6) AS width_m,
+       {w['width_source']} AS width_source
+FROM part
+"""
+
+
+def q_multiplicity(spark, sf_dir):
+    """A1/A2: multiplicity counting (junction-detection shape)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("order_count"))
+        .where(F.col("order_count") > 1)
+    )
+
+
+SQL_MULTIPLICITY = """
+SELECT o_custkey AS custkey, count(*) AS order_count
+FROM orders GROUP BY o_custkey HAVING count(*) > 1
+"""
+
+
+def q_agg_stats(spark, sf_dir):
+    """A3/A8/W5: partial→final aggregation, exact decimal sums, percentiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        _dsum("l_quantity").alias("sum_qty"),
+        _dsum("l_extendedprice").alias("sum_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+    )
+
+
+SQL_AGG_STATS = """
+SELECT l_returnflag,
+       count(*) AS n,
+       cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       cast(sum(cast(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_type_histogram(spark, sf_dir):
+    """A9: value histogram."""
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_TYPE_HISTOGRAM = "SELECT p_brand AS brand, count(*) AS n FROM part GROUP BY p_brand"
+
+
+def q_multi_join(spark, sf_dir):
+    """J1/J6: chained equi-joins with a broadcastable dimension side."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_orders"), _dsum("o_totalprice").alias("total_price"))
+    )
+
+
+SQL_MULTI_JOIN = """
+SELECT r_name, count(*) AS n_orders,
+       cast(sum(cast(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_salted_join(spark, sf_dir, salt: int = 8):
+    """J1 skew pattern: explicit salt — big side hashes into salt buckets,
+    small side replicates per bucket. Result ≡ the plain join (the oracle)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(salt))
+    )
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(salt)]))
+    )
+    return (
+        li.join(orders, (li.l_orderkey == orders.o_orderkey) & (li.salt == orders.salt))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), _dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT o_orderpriority, count(*) AS n_items,
+       cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """SO3: left-anti (the reference's 'interior and not endpoint' set op)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+"""
+
+
+def q_union_distinct(spark, sf_dir):
+    """SO1/SO2/A4: union + distinct."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+SQL_UNION_DISTINCT = """
+SELECT DISTINCT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL SELECT s_nationkey AS nationkey FROM supplier
+)
+"""
+
+
+def q_dense_ids(spark, sf_dir):
+    """W3/W4: deterministic dense sequential ids."""
+    w = Window.orderBy("c_custkey")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey", (F.row_number().over(w) - 1).alias("seq_id")
+    )
+
+
+SQL_DENSE_IDS = """
+SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) - 1 AS seq_id FROM customer
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """W6: rank-1 per group with a fully deterministic tie-break."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("top_orderkey"),
+            F.col("o_totalprice").alias("top_price"),
+        )
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_custkey AS custkey, o_orderkey AS top_orderkey, o_totalprice AS top_price
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) = 1
+"""
+
+
+def q_cell_assign(spark, sf_dir):
+    """F14: tile-cell assignment — pure integer bit-math, level 13 and 11."""
+    cust = _t(spark, sf_dir, "customer").withColumn("lat", F.expr(LAT_SQL)).withColumn(
+        "lon", F.expr(LON_SQL)
+    )
+    return cust.select(
+        "c_custkey",
+        cell_col(F.col("lat"), F.col("lon"), 13).alias("cell13"),
+        cell_col(F.col("lat"), F.col("lon"), 11).alias("cell11"),
+    )
+
+
+def _cell_sql(lat: str, lon: str, level: int) -> str:
+    w = 180.0 / (1 << level)
+    nx = (2 << level) - 1
+    ny = (1 << level) - 1
+    x = f"greatest(0, least({nx}, cast(floor((({lon}) + 180.0) / {w!r}) AS BIGINT)))"
+    y = f"greatest(0, least({ny}, cast(floor((({lat}) + 90.0) / {w!r}) AS BIGINT)))"
+    return f"(cast({level} AS BIGINT) * {1 << 52} + ({x} << 26) + {y})"
+
+
+SQL_CELL_ASSIGN = f"""
+SELECT c_custkey,
+       {_cell_sql(LAT_SQL, LON_SQL, 13)} AS cell13,
+       {_cell_sql(LAT_SQL, LON_SQL, 11)} AS cell11
+FROM customer
+"""
+
+
+def q_tile_rollup(spark, sf_dir):
+    """A10: density rollup at level 13, parent-aggregated to level 11."""
+    pts = q_cell_assign(spark, sf_dir)
+    base = pts.groupBy(F.col("cell13").alias("cell")).agg(F.count("*").alias("n")).withColumn(
+        "level", F.lit(13)
+    )
+    parent = (
+        base.select(parent_cell_col(F.col("cell"), 13, 11).alias("cell"), "n")
+        .groupBy("cell")
+        .agg(F.sum("n").alias("n"))
+        .withColumn("level", F.lit(11))
+    )
+    return base.unionByName(parent).select("level", "cell", "n")
+
+
+SQL_TILE_ROLLUP = f"""
+WITH pts AS (
+  SELECT {_cell_sql(LAT_SQL, LON_SQL, 13)} AS cell13,
+         {_cell_sql(LAT_SQL, LON_SQL, 11)} AS cell11
+  FROM customer
+), base AS (
+  SELECT 13 AS level, cell13 AS cell, count(*) AS n FROM pts GROUP BY cell13
+), parent AS (
+  SELECT 11 AS level, cell11 AS cell, count(*) AS n FROM pts GROUP BY cell11
+)
+SELECT level, cell, cast(n AS BIGINT) AS n FROM base
+UNION ALL SELECT level, cell, cast(n AS BIGINT) AS n FROM parent
+"""
+
+
+def _derived_points(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .withColumn("lat", F.expr(LAT_SQL))
+        .withColumn("lon", F.expr(LON_SQL))
+    )
+
+
+def q_epsilon_pairs(spark, sf_dir, eps_m: float = 1000.0):
+    """J3: distance self-join via cell equi-join + exact filter (the engine's
+    ε-pair pattern on SQL-derivable points; oracle = brute-force cross join)."""
+    pts = _derived_points(spark, sf_dir)
+    level = 16  # cell edge ≈ 305 m ≥ ... ring-1 covers 1 km at 0.00274°? no:
+    # at level 15 cell edge = 0.00549° ≈ 610 m lat / ~392 m lon@50° — ring-1
+    # spans ≥ 2× min(cell edge) ≥ 784 m < 1 km... use level 14 (1.22 km).
+    level = 14
+    a = pts.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+    )
+    from .operators.cluster import _ring_cells_expr, _cell_expr
+
+    left = a.withColumn(
+        "cell", F.explode(_ring_cells_expr("lat_a", "lon_a", level))
+    )
+    b = pts.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+    ).withColumn("cell", _cell_expr("lat_b", "lon_b", level))
+    cand = left.join(b, "cell").where(F.col("key_a") < F.col("key_b")).drop("cell").distinct()
+    dist = F.expr(DIST_SQL)
+    return cand.withColumn("dist_m", F.round(dist, 3)).where(dist <= eps_m).select(
+        "key_a", "key_b", "dist_m"
+    )
+
+
+SQL_EPSILON_PAIRS = f"""
+WITH pts AS (SELECT c_custkey AS key, {LAT_SQL} AS lat, {LON_SQL} AS lon FROM customer)
+SELECT a.key AS key_a, b.key AS key_b,
+       round({DIST_SQL}, 3) AS dist_m
+FROM (SELECT key, lat AS lat_a, lon AS lon_a FROM pts) a
+JOIN (SELECT key, lat AS lat_b, lon AS lon_b FROM pts) b ON a.key < b.key
+WHERE {DIST_SQL} <= 1000.0
+"""
+
+
+def q_knn_top1(spark, sf_dir):
+    """J7/W6: nearest neighbor for sampled query points; rank by rounded
+    distance + key so last-ulp noise cannot flip the ranking."""
+    pts = _derived_points(spark, sf_dir)
+    q = pts.where(F.col("c_custkey") % 30 == 0).select(
+        F.col("c_custkey").alias("qkey"), F.col("lat").alias("lat_a"), F.col("lon").alias("lon_a")
+    )
+    c = pts.select(
+        F.col("c_custkey").alias("nkey"), F.col("lat").alias("lat_b"), F.col("lon").alias("lon_b")
+    )
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("qkey") != F.col("nkey"))
+        .withColumn("dist_m", F.round(F.expr(DIST_SQL), 6))
+    )
+    w = Window.partitionBy("qkey").orderBy("dist_m", "nkey")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("qkey", "nkey", "dist_m")
+    )
+
+
+SQL_KNN_TOP1 = f"""
+WITH pts AS (SELECT c_custkey AS key, {LAT_SQL} AS lat, {LON_SQL} AS lon FROM customer),
+scored AS (
+  SELECT a.key AS qkey, b.key AS nkey,
+         round({DIST_SQL}, 6) AS dist_m
+  FROM (SELECT key, lat AS lat_a, lon AS lon_a FROM pts WHERE key % 30 = 0) a
+  JOIN (SELECT key, lat AS lat_b, lon AS lon_b FROM pts) b ON a.key <> b.key
+)
+SELECT qkey, nkey, dist_m FROM scored
+QUALIFY row_number() OVER (PARTITION BY qkey ORDER BY dist_m, nkey) = 1
+"""
+
+
+TRI = ((50.051, 13.041), (50.149, 13.273), (50.023, 13.211))  # (lat, lon), CCW
+
+
+def _pip_sql(lat: str, lon: str) -> str:
+    (y1, x1), (y2, x2), (y3, x3) = TRI
+    def half(xa, ya, xb, yb):
+        return f"(({xb} - {xa}) * (({lat}) - {ya}) - ({yb} - {ya}) * (({lon}) - {xa}))"
+    return f"({half(x1, y1, x2, y2)} > 0 AND {half(x2, y2, x3, y3)} > 0 AND {half(x3, y3, x1, y1)} > 0)"
+
+
+def q_pip_triangle(spark, sf_dir):
+    """F15: point-in-polygon (convex case = half-plane signs, exact floats)."""
+    pts = _derived_points(spark, sf_dir)
+    return pts.select(
+        "c_custkey", F.expr(_pip_sql("lat", "lon")).alias("inside")
+    )
+
+
+SQL_PIP_TRIANGLE = f"""
+SELECT c_custkey, {_pip_sql(LAT_SQL, LON_SQL)} AS inside FROM customer
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Streaming-analog batch: tumbling-hour aggregation, wall-clock keyed."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias("hour"),
+    ).agg(F.count("*").alias("n"), _dsum("value").alias("sum_value"))
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       count(*) AS n,
+       cast(sum(cast(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Dedup (exact): hash-groupBy duplicate sets."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs).select("text_hash", "dup_count", "keep_doc_id")
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Text analysis: whitespace token counting."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens")
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id, cast(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_quality(spark, sf_dir):
+    """Text quality ratios (exact integer divisions → identical doubles)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, "[^.,;:!?]", ""))
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_calc"),
+        (n_alpha / n_chars).alias("alpha_ratio"),
+        (n_punct / n_chars).alias("punct_ratio"),
+    )
+
+
+SQL_QUALITY = """
+SELECT doc_id,
+       cast(length(text) AS BIGINT) AS n_chars_calc,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / cast(length(text) AS DOUBLE) AS alpha_ratio,
+       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / cast(length(text) AS DOUBLE) AS punct_ratio
+FROM documents
+"""
+
+
+def q_langid(spark, sf_dir):
+    """Marker-word language ID — shared CASE expression in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    out = docs
+    for lang, expr in _LANG_HITS.items():
+        out = out.withColumn(f"hits_{lang}", F.expr(expr))
+    return out.select("doc_id", F.expr(LANG_CASE_SQL).alias("lang_pred"))
+
+
+SQL_LANGID = f"""
+SELECT doc_id, {LANG_CASE_SQL} AS lang_pred FROM (
+  SELECT doc_id, text,
+         {_LANG_HITS['en']} AS hits_en,
+         {_LANG_HITS['de']} AS hits_de,
+         {_LANG_HITS['fr']} AS hits_fr,
+         {_LANG_HITS['es']} AS hits_es
+  FROM documents
+)
+"""
+
+
+def q_ann_top1(spark, sf_dir):
+    """ANN baseline: exact cosine top-1 for query vectors (vec_id < 20);
+    embeddings cast to double before any product; rank by rounded cosine."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    qn = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, x: a + x * x))
+    cn = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(dot / (qn * cn), 5))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+SQL_ANN_TOP1 = """
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(
+           list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                                   t -> cast(t[1] AS DOUBLE) * cast(t[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))))),
+         5) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20
+)
+SELECT query_id, neighbor_id, cosine FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) = 1
+"""
+
+
+def q_neardup_embeddings(spark, sf_dir, threshold: float = 0.99):
+    """Embedding near-dup pairs (exact; the LSH variant is rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x)
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda a_, x: a_ + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda a_, x: a_ + x * x))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(dot / (na * nb) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+SQL_NEARDUP_EMBEDDINGS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                              t -> cast(t[1] AS DOUBLE) * cast(t[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(a.embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(b.embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)))))
+      >= 0.99
+"""
+
+
+def q_approx_distance(spark, sf_dir):
+    """F2: equirectangular distance between paired derived points."""
+    cust = _derived_points(spark, sf_dir).withColumnRenamed("lat", "lat_a").withColumnRenamed(
+        "lon", "lon_a"
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey")
+        .withColumn("lat_b", F.expr(S_LAT_SQL))
+        .withColumn("lon_b", F.expr(S_LON_SQL))
+    )
+    joined = cust.join(supp, cust.c_custkey == supp.s_suppkey)
+    return joined.select(
+        "c_custkey", F.round(F.expr(DIST_SQL), 3).alias("dist_m")
+    )
+
+
+SQL_APPROX_DISTANCE = f"""
+SELECT c_custkey,
+       round({DIST_SQL}, 3) AS dist_m
+FROM (SELECT c_custkey, {LAT_SQL} AS lat_a, {LON_SQL} AS lon_a FROM customer) c
+JOIN (SELECT s_suppkey, {S_LAT_SQL} AS lat_b, {S_LON_SQL} AS lon_b FROM supplier) s
+  ON c.c_custkey = s.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible; gated by the oracle-parity pytest)
+
+def _synth_docs(spark, sf_dir, n_docs: int = 120):
+    """Deterministic interleaved docs keyed by the sf documents table size."""
+    from .sources.docsgen import DocsGenParams, docs_dataframe
+
+    params = DocsGenParams(seed=42, mega_every=50, mega_refs=800)
+    return docs_dataframe(spark, n_docs, params, partitions=8)
+
+
+def _graph(spark, sf_dir):
+    from .plans.pipeline import WaterwayEngine
+
+    cfg = EngineConfig(filter_waterway_types=False)
+    return WaterwayEngine(cfg).build_graph(_synth_docs(spark, sf_dir), spark), cfg
+
+
+def q_waterway_edges(spark, sf_dir):
+    g, _ = _graph(spark, sf_dir)
+    return g.edges.select(
+        "id", "from_node_id", "to_node_id", "length_m", "name", "type",
+        "width_raw", "width_m", "width_source", "original_way_id",
+    )
+
+
+def q_waterway_nodes(spark, sf_dir):
+    g, _ = _graph(spark, sf_dir)
+    return g.nodes
+
+
+def q_waterway_tile_rollup(spark, sf_dir):
+    g, _ = _graph(spark, sf_dir)
+    return g.tile_rollup
+
+
+def q_waterway_knn_dangling(spark, sf_dir):
+    from .operators.spatial import knn_snap_dangling
+
+    g, cfg = _graph(spark, sf_dir)
+    return knn_snap_dangling(g.nodes, g.edges, cfg, radius_m=2000.0)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs)
+
+
+def q_lsh_ann(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    return similarity.lsh_cosine_topk(q, emb, k=3).select(
+        "query_id", "neighbor_id", F.round("cosine", 5).alias("cosine"), "rank"
+    )
+
+
+def q_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def q_media_features(spark, sf_dir):
+    from .operators import multimodal
+
+    docs = _synth_docs(spark, sf_dir, 60)
+    refs = docs.select(F.explode("spans").alias("s")).select(
+        F.col("s.media_ref").alias("media_ref")
+    )
+    media = multimodal.synthesize_media(refs)
+    return multimodal.extract_features(media, feat_dim=8).select(
+        "media_id", "kind", "feat_dim"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+def queries():
+    return {
+        "filter_project": q_filter_project,
+        "width_parse": q_width_parse,
+        "multiplicity": q_multiplicity,
+        "agg_stats": q_agg_stats,
+        "type_histogram": q_type_histogram,
+        "multi_join": q_multi_join,
+        "salted_join": q_salted_join,
+        "anti_join": q_anti_join,
+        "union_distinct": q_union_distinct,
+        "dense_ids": q_dense_ids,
+        "topk_per_group": q_topk_per_group,
+        "cell_assign": q_cell_assign,
+        "tile_rollup": q_tile_rollup,
+        "epsilon_pairs": q_epsilon_pairs,
+        "knn_top1": q_knn_top1,
+        "pip_triangle": q_pip_triangle,
+        "events_hourly": q_events_hourly,
+        "exact_dedup": q_exact_dedup,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "langid": q_langid,
+        "ann_top1": q_ann_top1,
+        "neardup_embeddings": q_neardup_embeddings,
+        "approx_distance": q_approx_distance,
+        # rows-only (non-SQL-expressible)
+        "waterway_edges": q_waterway_edges,
+        "waterway_nodes": q_waterway_nodes,
+        "waterway_tile_rollup": q_waterway_tile_rollup,
+        "waterway_knn_dangling": q_waterway_knn_dangling,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_ann": q_lsh_ann,
+        "fingerprints": q_fingerprints,
+        "media_features": q_media_features,
+    }
+
+
+def oracle_sql():
+    return {
+        "filter_project": SQL_FILTER_PROJECT,
+        "width_parse": _sql_width_parse(),
+        "multiplicity": SQL_MULTIPLICITY,
+        "agg_stats": SQL_AGG_STATS,
+        "type_histogram": SQL_TYPE_HISTOGRAM,
+        "multi_join": SQL_MULTI_JOIN,
+        "salted_join": SQL_SALTED_JOIN,
+        "anti_join": SQL_ANTI_JOIN,
+        "union_distinct": SQL_UNION_DISTINCT,
+        "dense_ids": SQL_DENSE_IDS,
+        "topk_per_group": SQL_TOPK_PER_GROUP,
+        "cell_assign": SQL_CELL_ASSIGN,
+        "tile_rollup": SQL_TILE_ROLLUP,
+        "epsilon_pairs": SQL_EPSILON_PAIRS,
+        "knn_top1": SQL_KNN_TOP1,
+        "pip_triangle": SQL_PIP_TRIANGLE,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "token_count": SQL_TOKEN_COUNT,
+        "quality": SQL_QUALITY,
+        "langid": SQL_LANGID,
+        "ann_top1": SQL_ANN_TOP1,
+        "neardup_embeddings": SQL_NEARDUP_EMBEDDINGS,
+        "approx_distance": SQL_APPROX_DISTANCE,
+    }

@@ -51,7 +51,9 @@ class WaterwayEngine:
     def _stage(self, name: str, df: DataFrame) -> DataFrame:
         if self.checkpointer is not None:
             return self.checkpointer.materialize(name, self.config, df)
-        return df
+        # multiple downstream actions consume each stage (probes, stats
+        # collects, both graph sides) — cache to keep the DAG linear
+        return df.cache()
 
     def build_graph(self, docs: DataFrame, spark: Optional[SparkSession] = None) -> GraphResult:
         spark = spark or docs.sparkSession

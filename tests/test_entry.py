@@ -1,0 +1,84 @@
+"""Replicates the driver's correctness loop locally: every queries() entry
+runs on sf0.001; SQL-checked entries are compared against their DuckDB
+oracle row-by-row (columns sorted by name, rows sorted, exact values)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return v
+    if hasattr(v, "__float__") and type(v).__name__ == "Decimal":
+        return float(v)
+    return v
+
+
+def _rows(cols, data):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm(row[i]) for i in order) for row in data
+    ), [cols[i] for i in order]
+
+
+SQL_CHECKED = sorted(entry_mod.oracle_sql().keys())
+ROWS_ONLY = sorted(set(entry_mod.queries().keys()) - set(SQL_CHECKED))
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_sql_checked_query(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    df = q(spark, SF)
+    got_cols = df.columns
+    got_rows = [tuple(r) for r in df.collect()]
+    res = ddb.execute(entry_mod.oracle_sql()[name])
+    want_cols = [d[0] for d in res.description]
+    want_rows = res.fetchall()
+    assert sorted(got_cols) == sorted(want_cols), (got_cols, want_cols)
+    g, _ = _rows(got_cols, got_rows)
+    w, _ = _rows(want_cols, want_rows)
+    assert len(g) == len(w), f"{name}: {len(g)} vs {len(w)} rows"
+    assert g == w, f"{name}: value mismatch"
+
+
+@pytest.mark.parametrize("name", [n for n in ROWS_ONLY if not n.startswith("waterway")])
+def test_rows_only_query_runs(spark, name):
+    df = entry_mod.queries()[name](spark, SF)
+    assert df.count() >= 0 and len(df.schema) > 0
+
+
+def test_waterway_queries_run(spark):
+    for name in [n for n in ROWS_ONLY if n.startswith("waterway")]:
+        df = entry_mod.queries()[name](spark, SF)
+        assert df.count() > 0, name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[0] == "id"
