@@ -46,33 +46,46 @@ def assemble_geometries(
     resolved = refs.join(nodes, "node_id", "inner").select(
         "way_id", "n_refs", "pos", "lat", "lon"
     )
-    # level 1: fixed-size chunks (bounds reducer row size for mega-ways)
-    chunks = (
-        resolved.groupBy("way_id", (F.col("pos") / chunk).cast("long").alias("chunk_id"))
+
+    def _finish(pts_df):
+        return (
+            pts_df.where(F.col("n_resolved") == F.col("n_refs"))  # drop partial ways
+            .select(
+                "way_id",
+                F.col("pts.lat").alias("lats"),
+                F.col("pts.lon").alias("lons"),
+            )
+            .where(F.size("lats") >= 2)
+        )
+
+    # ordinary ways: single groupBy + ordered collect
+    small = (
+        resolved.where(F.col("n_refs") <= chunk)
+        .groupBy("way_id")
+        .agg(
+            F.first("n_refs").alias("n_refs"),
+            F.count("*").alias("n_resolved"),
+            F.sort_array(F.collect_list(F.struct("pos", "lat", "lon"))).alias("pts"),
+        )
+    )
+    # mega-ways: two-level chunked reassembly bounds reducer row size
+    big_chunks = (
+        resolved.where(F.col("n_refs") > chunk)
+        .groupBy("way_id", (F.col("pos") / chunk).cast("long").alias("chunk_id"))
         .agg(
             F.first("n_refs").alias("n_refs"),
             F.count("*").alias("n_in_chunk"),
             F.sort_array(F.collect_list(F.struct("pos", "lat", "lon"))).alias("pts"),
         )
     )
-    # level 2: few chunk rows per way → ordered flat arrays
-    geoms = (
-        chunks.groupBy("way_id")
+    big = (
+        big_chunks.groupBy("way_id")
         .agg(
             F.first("n_refs").alias("n_refs"),
             F.sum("n_in_chunk").alias("n_resolved"),
             F.sort_array(F.collect_list(F.struct("chunk_id", "pts"))).alias("chunks"),
         )
-        .where(F.col("n_resolved") == F.col("n_refs"))  # drop partially-resolved ways
-        .select(
-            "way_id",
-            F.flatten("chunks.pts").alias("pts"),
-        )
-        .select(
-            "way_id",
-            F.col("pts.lat").alias("lats"),
-            F.col("pts.lon").alias("lons"),
-        )
-        .where(F.size("lats") >= 2)
+        .select("way_id", "n_refs", "n_resolved", F.flatten("chunks.pts").alias("pts"))
     )
+    geoms = _finish(small).unionByName(_finish(big))
     return geoms.join(ways.select("way_id", "tags"), "way_id", "inner")

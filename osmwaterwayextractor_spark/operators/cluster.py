@@ -124,16 +124,36 @@ def connected_components(points: DataFrame, edges: DataFrame, checkpoint_every: 
             return labels
 
 
+DRIVER_CC_MAX_PAIRS = 5_000_000  # collect-and-union-find below this; iterate above
+
+
 def snap_map(points: DataFrame, config: EngineConfig, spark: SparkSession) -> DataFrame:
-    """points(lat, lon) distinct → (lat, lon, snap_lat, snap_lon)."""
+    """points(lat, lon) distinct → (lat, lon, snap_lat, snap_lon).
+
+    ε-pairs are vastly fewer than points (only near-coincident endpoints
+    qualify), so the common path collects JUST the pair edges and runs exact
+    union-find + centroids in NumPy on the driver, then broadcast-joins the
+    (tiny) non-identity mapping back onto the full point set — zero CC
+    iterations, zero extra shuffles. Above ``DRIVER_CC_MAX_PAIRS`` the
+    distributed min-label propagation path takes over (same partitions by
+    construction: connected components are algorithm-independent).
+    """
     stats = points.agg(
         F.max(F.abs(F.col("lat"))).alias("maxlat"), F.count("*").alias("n")
     ).collect()[0]
+    identity = points.select(
+        "lat", "lon", F.col("lat").alias("snap_lat"), F.col("lon").alias("snap_lon")
+    )
     if stats["n"] == 0:
-        return points.select(
-            "lat", "lon", F.col("lat").alias("snap_lat"), F.col("lon").alias("snap_lon")
-        )
-    pair_edges = epsilon_pair_edges(points, config.snap_tolerance_m, float(stats["maxlat"]))
+        return identity
+    pair_edges = epsilon_pair_edges(
+        points, config.snap_tolerance_m, float(stats["maxlat"])
+    ).cache()
+    n_pairs = pair_edges.count()
+    if n_pairs == 0:
+        return identity
+    if n_pairs <= DRIVER_CC_MAX_PAIRS:
+        return _snap_map_driver(points, pair_edges, config, spark)
     labels = connected_components(points, pair_edges)
 
     @pandas_udf("struct<snap_lat:double, snap_lon:double, max_disp:double>")
@@ -174,4 +194,59 @@ def snap_map(points: DataFrame, config: EngineConfig, spark: SparkSession) -> Da
         F.col("m.lon").alias("lon"),
         "snap_lat",
         "snap_lon",
+    )
+
+
+def _snap_map_driver(
+    points: DataFrame, pair_edges: DataFrame, config: EngineConfig, spark: SparkSession
+) -> DataFrame:
+    """Exact union-find + centroids over the (small) involved-point set on
+    the driver; mapping broadcast-joined back onto all points. Bit-identical
+    to the distributed path: same partitions, same sorted-member centroid
+    kernel, same displacement abort (reference :1314-1317)."""
+    import numpy as np
+
+    from ..functions.clustering import UnionFind
+
+    rows = pair_edges.select("lat", "lon", "nlat", "nlon").collect()
+    coords: dict[tuple, int] = {}
+    for r in rows:
+        for c in ((r["lat"], r["lon"]), (r["nlat"], r["nlon"])):
+            if c not in coords:
+                coords[c] = len(coords)
+    uf = UnionFind(len(coords))
+    for r in rows:
+        uf.union(coords[(r["lat"], r["lon"])], coords[(r["nlat"], r["nlon"])])
+    inv = [None] * len(coords)
+    for c, i in coords.items():
+        inv[i] = c
+    labels = uf.labels()
+    max_allowed = config.snap_tolerance_m * config.max_displacement_multiplier
+    mapping_rows: list[tuple] = []
+    for root in np.unique(labels):
+        members = np.nonzero(labels == root)[0]
+        mlat = np.array([inv[int(m)][0] for m in members])
+        mlon = np.array([inv[int(m)][1] for m in members])
+        if members.shape[0] == 1:
+            cen = (float(mlat[0]), float(mlon[0]))
+        else:
+            cen = centroid_of_members(mlat, mlon)
+            disp = geodesic_m(
+                mlat, mlon, np.full(len(members), cen[0]), np.full(len(members), cen[1])
+            )
+            if float(disp.max()) > max_allowed:
+                raise ValueError("Cluster displacement exceeds safety threshold")
+        for m in members:
+            c = inv[int(m)]
+            mapping_rows.append((float(c[0]), float(c[1]), cen[0], cen[1]))
+    mapping = spark.createDataFrame(
+        mapping_rows, "lat double, lon double, snap_lat double, snap_lon double"
+    )
+    from pyspark.sql.functions import broadcast
+
+    return points.join(broadcast(mapping), ["lat", "lon"], "left").select(
+        "lat",
+        "lon",
+        F.coalesce("snap_lat", "lat").alias("snap_lat"),
+        F.coalesce("snap_lon", "lon").alias("snap_lon"),
     )

@@ -29,6 +29,10 @@ from ..functions.geodesy import geodesic_m
 from ..functions.hashing import edge_ids, node_ids
 from ..functions.width import width_columns
 
+def fids_str(arr: np.ndarray) -> list[str]:
+    return [str(x) for x in arr]
+
+
 EDGES_SCHEMA = (
     "id string, from_node_id string, to_node_id string, length_m double, "
     "lats array<double>, lons array<double>, name string, type string, "
@@ -130,63 +134,71 @@ def build_edges(ways: DataFrame, snap: DataFrame, config: EngineConfig) -> DataF
 
     def kernel(batches):
         for pdf in batches:
-            rows = {k: [] for k in (
-                "id", "from_node_id", "to_node_id", "length_m", "lats", "lons",
-                "name", "type", "width_raw", "width_m", "width_source", "original_way_id",
-            )}
+            # pass 1 (per way, cheap): find cut slices; collect segment
+            # endpoints + metadata so hashing/geodesics run ONCE per batch
+            f_lat, f_lon, t_lat, t_lon = [], [], [], []
+            wids, ks, lengths = [], [], []
+            seg_lats, seg_lons, meta = [], [], []
             for way_id, lats, lons, cuts, name, typ, wraw, wm, wsrc in zip(
                 pdf["way_id"], pdf["lats_m"], pdf["lons_m"], pdf["cuts"],
                 pdf["name"], pdf["type"], pdf["width_raw"], pdf["width_m"], pdf["width_source"],
             ):
                 la = np.asarray(lats, dtype=np.float64)
                 lo = np.asarray(lons, dtype=np.float64)
-                ct = np.asarray(cuts, dtype=bool)
                 n = la.shape[0]
                 if n < 2:
                     continue
-                ct = ct.copy()
+                ct = np.asarray(cuts, dtype=bool).copy()
                 ct[0] = ct[-1] = True
                 jidx = np.nonzero(ct)[0]
                 if jidx.shape[0] < 2:
                     continue
                 seg_d = geodesic_m(la[:-1], lo[:-1], la[1:], lo[1:])
-                froms, tos, lengths, seg_slices, ks = [], [], [], [], []
                 for k in range(jidx.shape[0] - 1):
                     s, e = int(jidx[k]), int(jidx[k + 1])
                     if e <= s:
                         continue
-                    length = float(np.add.reduce(seg_d[s:e])) if e > s else 0.0
-                    froms.append((la[s], lo[s]))
-                    tos.append((la[e], lo[e]))
-                    lengths.append(length)
-                    seg_slices.append((s, e))
-                    ks.append(k)
-                if not froms:
-                    continue
-                fa = np.asarray(froms)
-                ta = np.asarray(tos)
-                fids = node_ids(fa[:, 0], fa[:, 1], precision, hash_length)
-                tids = node_ids(ta[:, 0], ta[:, 1], precision, hash_length)
-                eids = edge_ids(
-                    fids, tids, np.full(len(ks), way_id, dtype=np.int64),
-                    np.asarray(ks, dtype=np.int64), hash_length,
-                )
-                for i, (s, e) in enumerate(seg_slices):
-                    if lengths[i] < min_len:
+                    length = float(np.add.reduce(seg_d[s:e]))
+                    if length < min_len:
                         continue
-                    rows["id"].append(str(eids[i]))
-                    rows["from_node_id"].append(str(fids[i]))
-                    rows["to_node_id"].append(str(tids[i]))
-                    rows["length_m"].append(lengths[i])
-                    rows["lats"].append(la[s : e + 1])
-                    rows["lons"].append(lo[s : e + 1])
-                    rows["name"].append(name)
-                    rows["type"].append(typ)
-                    rows["width_raw"].append(wraw)
-                    rows["width_m"].append(wm if wm is not None and not pd.isna(wm) else None)
-                    rows["width_source"].append(wsrc)
-                    rows["original_way_id"].append(way_id)
-            yield pd.DataFrame(rows)
+                    f_lat.append(la[s]); f_lon.append(lo[s])
+                    t_lat.append(la[e]); t_lon.append(lo[e])
+                    wids.append(way_id); ks.append(k); lengths.append(length)
+                    seg_lats.append(la[s : e + 1]); seg_lons.append(lo[s : e + 1])
+                    meta.append((name, typ, wraw, wm, wsrc))
+            if not wids:
+                yield pd.DataFrame(
+                    {k: [] for k in (
+                        "id", "from_node_id", "to_node_id", "length_m", "lats", "lons",
+                        "name", "type", "width_raw", "width_m", "width_source", "original_way_id",
+                    )}
+                )
+                continue
+            # pass 2 (whole batch, vectorized): ids in three kernel calls
+            fids = node_ids(np.asarray(f_lat), np.asarray(f_lon), precision, hash_length)
+            tids = node_ids(np.asarray(t_lat), np.asarray(t_lon), precision, hash_length)
+            eids = edge_ids(
+                fids, tids, np.asarray(wids, dtype=np.int64),
+                np.asarray(ks, dtype=np.int64), hash_length,
+            )
+            yield pd.DataFrame(
+                {
+                    "id": fids_str(eids),
+                    "from_node_id": fids_str(fids),
+                    "to_node_id": fids_str(tids),
+                    "length_m": lengths,
+                    "lats": seg_lats,
+                    "lons": seg_lons,
+                    "name": [m[0] for m in meta],
+                    "type": [m[1] for m in meta],
+                    "width_raw": [m[2] for m in meta],
+                    "width_m": [
+                        None if m[3] is None or pd.isna(m[3]) else float(m[3]) for m in meta
+                    ],
+                    "width_source": [m[4] for m in meta],
+                    "original_way_id": wids,
+                }
+            )
 
     return regrouped.mapInPandas(kernel, schema=EDGES_SCHEMA)
 

@@ -118,7 +118,10 @@ def detect_intersections(ways: DataFrame, config: EngineConfig) -> DataFrame:
         F.col("lat1").alias("b_lat1"), F.col("lon1").alias("b_lon1"),
         F.col("lat2").alias("b_lat2"), F.col("lon2").alias("b_lon2"),
     )
-    pairs = a.join(b, "cell").where(F.col("way_a") < F.col("way_b")).drop("cell").distinct()
+    # NOTE: pairs sharing several cover cells are tested more than once — the
+    # exact kernel is cheap and vectorized, and the output points are
+    # distinct()ed below, so skipping a wide 8-double dedup shuffle here wins.
+    pairs = a.join(b, "cell").where(F.col("way_a") < F.col("way_b")).drop("cell")
 
     from pyspark.sql.functions import pandas_udf
 

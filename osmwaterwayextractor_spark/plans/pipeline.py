@@ -66,14 +66,15 @@ class WaterwayEngine:
         simplified = self._stage("simplified", clean_and_simplify(assembled, cfg))
 
         if cfg.enable_intersection_detection:
-            n_ways = simplified.limit(2).count()
-            if n_ways >= 2:
-                points = detect_intersections(simplified, cfg)
+            points = detect_intersections(simplified, cfg).cache()
+            # (<2 ways trivially yields no intersection points — reference's
+            # early-out :1820 is subsumed; skip the insert stage when empty)
+            if points.isEmpty():
+                intersected = simplified
+            else:
                 intersected = self._stage(
                     "intersections", insert_intersections(simplified, points, cfg)
                 )
-            else:
-                intersected = simplified
         else:
             intersected = simplified
 

@@ -16,9 +16,21 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "4g")
+        .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_cache_between_modules(request):
+    """Pipeline stages cache aggressively; drop them when a module ends so
+    the session-scoped SparkSession doesn't accumulate block-manager state."""
+    yield
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.catalog.clearCache()
