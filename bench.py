@@ -28,7 +28,13 @@ def build_session(cpus: int):
         app="osmwwe-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 16),
-        extra={"spark.driver.memory": "48g", "spark.sql.autoBroadcastJoinThreshold": "64MB"},
+        extra={
+            "spark.driver.memory": "48g",
+            "spark.sql.autoBroadcastJoinThreshold": "64MB",
+            # shuffle/spill on tmpfs: the sandbox's virtio disk has high and
+            # variable latency that otherwise dominates small-stage wall time
+            "spark.local.dir": "/dev/shm/spark-local",
+        },
     )
 
 
