@@ -75,7 +75,8 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
     timings["tile_assign_rollup"] = tile_sec
 
     # relational / dedup / ANN headline queries on the sf tables
-    for name in [
+    # (SPARK_GRAFT_BENCH_MODE=pipeline skips them — used by scaling runs)
+    query_names = [] if os.environ.get("SPARK_GRAFT_BENCH_MODE") == "pipeline" else [
         "agg_stats",
         "salted_join",
         "multi_join",
@@ -86,7 +87,8 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
         "langid",
         "lsh_ann",
         "minhash_pairs",
-    ]:
+    ]
+    for name in query_names:
         q = EQ.queries()[name]
         t0 = time.time()
         df = q(spark, sf_dir)
