@@ -51,9 +51,12 @@ class WaterwayEngine:
     def _stage(self, name: str, df: DataFrame) -> DataFrame:
         if self.checkpointer is not None:
             return self.checkpointer.materialize(name, self.config, df)
-        # multiple downstream actions consume each stage (probes, stats
-        # collects, both graph sides) — cache to keep the DAG linear
-        return df.cache()
+        # Eager localCheckpoint, not cache(): the pipeline's logical plan is
+        # deep, and every downstream action would re-analyze/optimize the
+        # whole accumulated tree on the driver (seconds per action — the
+        # dominant serial cost at high core counts). Checkpointing truncates
+        # lineage to a block scan while keeping data in executor storage.
+        return df.localCheckpoint(eager=True)
 
     def build_graph(self, docs: DataFrame, spark: Optional[SparkSession] = None) -> GraphResult:
         spark = spark or docs.sparkSession
