@@ -49,14 +49,23 @@ class WaterwayEngine:
         self.checkpointer = checkpointer
 
     def _stage(self, name: str, df: DataFrame) -> DataFrame:
+        import os
+        import time
+
+        t0 = time.time()
         if self.checkpointer is not None:
-            return self.checkpointer.materialize(name, self.config, df)
-        # Eager localCheckpoint, not cache(): the pipeline's logical plan is
-        # deep, and every downstream action would re-analyze/optimize the
-        # whole accumulated tree on the driver (seconds per action — the
-        # dominant serial cost at high core counts). Checkpointing truncates
-        # lineage to a block scan while keeping data in executor storage.
-        return df.localCheckpoint(eager=True)
+            out = self.checkpointer.materialize(name, self.config, df)
+        else:
+            # Eager localCheckpoint, not cache(): the pipeline's logical plan
+            # is deep, and every downstream action would re-analyze/optimize
+            # the whole accumulated tree on the driver (seconds per action —
+            # the dominant serial cost at high core counts). Checkpointing
+            # truncates lineage to a block scan while keeping data in
+            # executor storage.
+            out = df.localCheckpoint(eager=True)
+        if os.environ.get("OSMWWE_STAGE_TIMING"):
+            print(f"[stage] {name}: {time.time() - t0:.2f}s", flush=True)
+        return out
 
     def build_graph(self, docs: DataFrame, spark: Optional[SparkSession] = None) -> GraphResult:
         spark = spark or docs.sparkSession
