@@ -41,6 +41,10 @@ class EngineConfig:
     tile_resolutions: tuple[int, ...] = (7, 8, 9)
 
     # graft: scale knobs
+    # local-first assembly (assemble_local.py) avoids the ref⋈node shuffle
+    # for doc-local ways but pays Python-side span parsing; the JVM from_json
+    # + sort-based reassembly wins in this environment → off by default
+    local_first_assembly: bool = False
     shuffle_partitions: int = 32
     assemble_chunk_size: int = 4096   # two-level mega-way reassembly (J1 skew)
     salt_buckets: int = 8             # explicit salting for hot node ids
@@ -53,8 +57,13 @@ class EngineConfig:
     # ---- step-parameter subsets (reference :249-327): changing a late-stage
     # knob must not invalidate early-stage checkpoints.
     _STEP_PARAMS = {
-        "parsed": ("waterway_types", "filter_waterway_types"),
-        "assembled": ("waterway_types", "filter_waterway_types"),
+        "parsed": ("waterway_types", "filter_waterway_types", "coordinate_precision"),
+        "assembled": (
+            "waterway_types",
+            "filter_waterway_types",
+            "coordinate_precision",
+            "local_first_assembly",
+        ),
         "processed": ("coordinate_precision",),
         "simplified": (
             "coordinate_precision",

@@ -9,11 +9,13 @@ repartitioning"):
 1. **ref-list explode**: every (way, pos, node_id) becomes its own row, so a
    mega-way with 10^5 refs is 10^5 independent join rows spread across
    partitions — no single task owns a whole mega-way during the probe.
-2. **two-level reassembly**: rebuilding ordered coordinate arrays is a
-   groupBy(way_id) + collect_list; a mega-way would funnel into one reducer
-   row. We first collect fixed-size CHUNKS on (way_id, pos / chunk_size),
-   then concatenate the few chunk rows per way — bounding every reducer's
-   row size by chunk_size regardless of way length.
+2. **sort-based reassembly**: rebuilding ordered coordinate arrays via
+   groupBy + collect_list hammers the JVM heap (ObjectHashAggregate buffers
+   tens of millions of structs — measured GC-bound at high core counts).
+   Instead, resolved vertices repartition on way_id, sort WITHIN partitions
+   by (way_id, pos), and a boundary-aware Arrow pass reassembles arrays in
+   NumPy — mega-ways stream through as contiguous multi-batch runs without
+   ever forming a giant JVM aggregation buffer.
 
 Ways with ANY unresolved ref are dropped whole (the osmium location index
 throws for missing locations and the way never materializes).
@@ -23,10 +25,71 @@ AQE (skewJoin + coalescePartitions) remains on for residual hot node ids.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import EngineConfig
+
+_ASM_SCHEMA = "way_id long, n_refs int, n_resolved long, lats array<double>, lons array<double>"
+
+
+def _reassemble_kernel(batches):
+    """Per-partition pass over rows sorted by (way_id, pos): emit one row per
+    way. A way may span multiple Arrow batches — carry state across them."""
+    cur_id = None
+    cur_refs = 0
+    lat_parts: list[np.ndarray] = []
+    lon_parts: list[np.ndarray] = []
+
+    def to_pdf(out):
+        # object dtype keeps empty batches Arrow-convertible to list<double>
+        return pd.DataFrame(
+            {
+                "way_id": pd.Series(out["way_id"], dtype="int64"),
+                "n_refs": pd.Series(out["n_refs"], dtype="int32"),
+                "n_resolved": pd.Series(out["n_resolved"], dtype="int64"),
+                "lats": pd.Series(out["lats"], dtype=object),
+                "lons": pd.Series(out["lons"], dtype=object),
+            }
+        )
+
+    def flush(out):
+        if cur_id is None:
+            return
+        la = np.concatenate(lat_parts) if len(lat_parts) > 1 else lat_parts[0]
+        lo = np.concatenate(lon_parts) if len(lon_parts) > 1 else lon_parts[0]
+        out["way_id"].append(cur_id)
+        out["n_refs"].append(cur_refs)
+        out["n_resolved"].append(la.shape[0])
+        out["lats"].append(la)
+        out["lons"].append(lo)
+
+    for pdf in batches:
+        out = {"way_id": [], "n_refs": [], "n_resolved": [], "lats": [], "lons": []}
+        wid = pdf["way_id"].to_numpy()
+        la = pdf["lat"].to_numpy(dtype=np.float64)
+        lo = pdf["lon"].to_numpy(dtype=np.float64)
+        nr = pdf["n_refs"].to_numpy()
+        if wid.shape[0] == 0:
+            yield to_pdf(out)
+            continue
+        # boundaries of way runs inside this batch
+        starts = np.concatenate([[0], np.nonzero(wid[1:] != wid[:-1])[0] + 1])
+        ends = np.concatenate([starts[1:], [wid.shape[0]]])
+        for s, e in zip(starts, ends):
+            w = int(wid[s])
+            if w != cur_id:
+                flush(out)
+                cur_id, cur_refs = w, int(nr[s])
+                lat_parts, lon_parts = [], []
+            lat_parts.append(la[s:e])
+            lon_parts.append(lo[s:e])
+        yield to_pdf(out)
+    out = {"way_id": [], "n_refs": [], "n_resolved": [], "lats": [], "lons": []}
+    flush(out)
+    yield to_pdf(out)
 
 
 def assemble_geometries(
@@ -37,7 +100,6 @@ def assemble_geometries(
     Output arrays are ordered by ref position; ways with missing refs or
     fewer than 2 resolved coordinates are dropped.
     """
-    chunk = config.assemble_chunk_size
     refs = ways.select(
         "way_id",
         F.size("refs").alias("n_refs"),
@@ -46,46 +108,12 @@ def assemble_geometries(
     resolved = refs.join(nodes, "node_id", "inner").select(
         "way_id", "n_refs", "pos", "lat", "lon"
     )
-
-    def _finish(pts_df):
-        return (
-            pts_df.where(F.col("n_resolved") == F.col("n_refs"))  # drop partial ways
-            .select(
-                "way_id",
-                F.col("pts.lat").alias("lats"),
-                F.col("pts.lon").alias("lons"),
-            )
-            .where(F.size("lats") >= 2)
-        )
-
-    # ordinary ways: single groupBy + ordered collect
-    small = (
-        resolved.where(F.col("n_refs") <= chunk)
-        .groupBy("way_id")
-        .agg(
-            F.first("n_refs").alias("n_refs"),
-            F.count("*").alias("n_resolved"),
-            F.sort_array(F.collect_list(F.struct("pos", "lat", "lon"))).alias("pts"),
-        )
+    n_part = max(config.shuffle_partitions, 16)
+    ordered = resolved.repartition(n_part, "way_id").sortWithinPartitions("way_id", "pos")
+    geoms = (
+        ordered.mapInPandas(_reassemble_kernel, schema=_ASM_SCHEMA)
+        .where(F.col("n_resolved") == F.col("n_refs"))  # drop partial ways
+        .where(F.size("lats") >= 2)
+        .select("way_id", "lats", "lons")
     )
-    # mega-ways: two-level chunked reassembly bounds reducer row size
-    big_chunks = (
-        resolved.where(F.col("n_refs") > chunk)
-        .groupBy("way_id", (F.col("pos") / chunk).cast("long").alias("chunk_id"))
-        .agg(
-            F.first("n_refs").alias("n_refs"),
-            F.count("*").alias("n_in_chunk"),
-            F.sort_array(F.collect_list(F.struct("pos", "lat", "lon"))).alias("pts"),
-        )
-    )
-    big = (
-        big_chunks.groupBy("way_id")
-        .agg(
-            F.first("n_refs").alias("n_refs"),
-            F.sum("n_in_chunk").alias("n_resolved"),
-            F.sort_array(F.collect_list(F.struct("chunk_id", "pts"))).alias("chunks"),
-        )
-        .select("way_id", "n_refs", "n_resolved", F.flatten("chunks.pts").alias("pts"))
-    )
-    geoms = _finish(small).unionByName(_finish(big))
     return geoms.join(ways.select("way_id", "tags"), "way_id", "inner")

@@ -72,9 +72,13 @@ class WaterwayEngine:
         cfg = self.config
 
         nodes_raw = parse_nodes(docs, cfg)
-        ways_raw = parse_ways(docs, cfg)
+        if cfg.local_first_assembly:
+            from ..operators.assemble_local import assemble_local_first
 
-        assembled = self._stage("assembled", assemble_geometries(ways_raw, nodes_raw, cfg))
+            assembled = self._stage("assembled", assemble_local_first(docs, nodes_raw, cfg))
+        else:
+            ways_raw = parse_ways(docs, cfg)
+            assembled = self._stage("assembled", assemble_geometries(ways_raw, nodes_raw, cfg))
         simplified = self._stage("simplified", clean_and_simplify(assembled, cfg))
 
         if cfg.enable_intersection_detection:

@@ -77,14 +77,24 @@ def _continues_previous(doc_index: int, params: DocsGenParams) -> bool:
     return float(np.random.default_rng([params.seed, doc_index, 2]).random()) < params.p_cross_doc
 
 
-def river_start(doc_index: int, params: DocsGenParams) -> tuple[float, float]:
-    """Actual start of a doc's river, resolving cross-doc continuation chains
-    (doc i may start exactly where doc i-1's river starts — shared coordinate
-    under distinct node ids, exercising coordinate-level node merge)."""
+def _chain_root(doc_index: int, params: DocsGenParams) -> int:
     j = doc_index
     while _continues_previous(j, params):
         j -= 1
-    return _mouth_of(j, params)
+    return j
+
+
+def river_start(doc_index: int, params: DocsGenParams) -> tuple[float, float]:
+    """Actual start of a doc's river, resolving cross-doc continuation chains
+    (doc i starts exactly where its chain root's river starts; continuing
+    docs REFERENCE the root's first node id — an out-of-document ref that
+    exercises the global-join assembly path)."""
+    return _mouth_of(_chain_root(doc_index, params), params)
+
+
+def shared_start_node_id(doc_index: int, params: DocsGenParams) -> int:
+    """First river node id of the chain root (the id continuing docs ref)."""
+    return (_chain_root(doc_index, params) + 1) * 100_000
 
 
 def generate_doc(doc_index: int, params: DocsGenParams) -> dict:
@@ -101,6 +111,10 @@ def generate_doc(doc_index: int, params: DocsGenParams) -> dict:
     # --- main river ---
     n_pts = int(rng.integers(params.river_points_min, params.river_points_max + 1))
     lat0, lon0 = river_start(doc_index, params)
+    # cross-doc continuation reuses the PREVIOUS doc's first river node id
+    # (realistic block-sharing: the ref resolves out-of-document, exercising
+    # the global-join assembly path; geometry stays contiguous)
+    continues = _continues_previous(doc_index, params)
     heading = rng.uniform(0, 2 * np.pi)
     step = rng.uniform(0.002, 0.008)
     dh = rng.uniform(-0.6, 0.6, n_pts - 1)
@@ -111,7 +125,11 @@ def generate_doc(doc_index: int, params: DocsGenParams) -> dict:
         lats.append(lats[-1] + step * np.cos(heading))
         lons.append(lons[-1] + step * np.sin(heading))
     river_ids = [nid_base + i for i in range(n_pts)]
-    for nid, la, lo in zip(river_ids, lats, lons):
+    if continues:
+        river_ids[0] = shared_start_node_id(doc_index, params)  # chain root's node
+    for k, (nid, la, lo) in enumerate(zip(river_ids, lats, lons)):
+        if continues and k == 0:
+            continue  # node lives in the chain root's document
         node_records.append((nid, float(la), float(lo)))
     name = f"{_NAMES[doc_index % len(_NAMES)]} River {doc_index}"
     tags = {"waterway": str(rng.choice(_WATERWAY_TYPES)), "name": name}

@@ -37,5 +37,9 @@ def test_step_param_hash_scoping():
     early = dataclasses.replace(base, coordinate_precision=6)
     assert base.step_param_hash("processed") != early.step_param_hash("processed")
     assert base.step_param_hash("edges") != early.step_param_hash("edges")
-    # parse-only stages unaffected by precision
-    assert base.step_param_hash("parsed") == early.step_param_hash("parsed")
+    # parse stage rounds coordinates → precision must invalidate it
+    assert base.step_param_hash("parsed") != early.step_param_hash("parsed")
+    # ...but snapping knobs must not
+    snap = dataclasses.replace(base, snap_tolerance_m=9.0)
+    assert base.step_param_hash("parsed") == snap.step_param_hash("parsed")
+    assert base.step_param_hash("assembled") == snap.step_param_hash("assembled")
