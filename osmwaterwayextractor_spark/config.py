@@ -58,6 +58,7 @@ class EngineConfig:
     # knob must not invalidate early-stage checkpoints.
     _STEP_PARAMS = {
         "parsed": ("waterway_types", "filter_waterway_types", "coordinate_precision"),
+        "parsed_ways": ("waterway_types", "filter_waterway_types"),
         "assembled": (
             "waterway_types",
             "filter_waterway_types",

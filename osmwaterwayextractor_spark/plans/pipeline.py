@@ -71,13 +71,16 @@ class WaterwayEngine:
         spark = spark or docs.sparkSession
         cfg = self.config
 
-        nodes_raw = parse_nodes(docs, cfg)
+        # parse outputs materialize once (assembly consumes ways twice and
+        # nodes once; recomputing the span explode+JSON parse per consumer
+        # was the dominant cost of the assembled stage)
+        nodes_raw = self._stage("parsed", parse_nodes(docs, cfg))
         if cfg.local_first_assembly:
             from ..operators.assemble_local import assemble_local_first
 
             assembled = self._stage("assembled", assemble_local_first(docs, nodes_raw, cfg))
         else:
-            ways_raw = parse_ways(docs, cfg)
+            ways_raw = self._stage("parsed_ways", parse_ways(docs, cfg))
             assembled = self._stage("assembled", assemble_geometries(ways_raw, nodes_raw, cfg))
         simplified = self._stage("simplified", clean_and_simplify(assembled, cfg))
 
