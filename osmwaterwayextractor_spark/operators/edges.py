@@ -80,6 +80,35 @@ def clustering_domain(endpoints: DataFrame, junctions: DataFrame) -> DataFrame:
     return endpoints.unionByName(junctions).distinct()
 
 
+def clustering_domain_fast(ways: DataFrame) -> DataFrame:
+    """distinct(endpoints ∪ junctions) in ONE aggregation.
+
+    Per vertex coordinate, count total occurrences and endpoint occurrences;
+    the clustering domain is exactly {coords : ep_count ≥ 1 ∨ total > 1}
+    (endpoints, endpoint-junctions ⊆ endpoints, and interior junctions).
+    Replaces two groupBys + anti-join + union-distinct with one shuffle —
+    set-identical to ``clustering_domain(endpoint_junction_points(ways))``.
+    """
+    verts = (
+        ways.select(
+            F.size("lats").alias("n"),
+            F.posexplode(
+                F.arrays_zip(F.col("lats").alias("lat"), F.col("lons").alias("lon"))
+            ).alias("pos", "p"),
+        )
+        .select(
+            F.col("p.lat").alias("lat"),
+            F.col("p.lon").alias("lon"),
+            ((F.col("pos") == 0) | (F.col("pos") == F.col("n") - 1)).alias("is_ep"),
+        )
+    )
+    counts = verts.groupBy("lat", "lon").agg(
+        F.count("*").alias("total"),
+        F.sum(F.col("is_ep").cast("int")).alias("ep_count"),
+    )
+    return counts.where((F.col("ep_count") >= 1) | (F.col("total") > 1)).select("lat", "lon")
+
+
 def build_edges(ways: DataFrame, snap: DataFrame, config: EngineConfig) -> DataFrame:
     precision = config.coordinate_precision
     hash_length = config.hash_length

@@ -24,7 +24,7 @@ from ..operators.cluster import snap_map
 from ..operators.edges import (
     build_edges,
     build_nodes,
-    clustering_domain,
+    clustering_domain_fast,
     endpoint_junction_points,
 )
 from ..operators.geometry_ops import (
@@ -97,8 +97,7 @@ class WaterwayEngine:
         else:
             intersected = simplified
 
-        endpoints, junctions = endpoint_junction_points(intersected)
-        domain = clustering_domain(endpoints, junctions)
+        domain = clustering_domain_fast(intersected)
         snap = self._stage("clustering", snap_map(domain, cfg, spark))
 
         edges = self._stage("edges", build_edges(intersected, snap, cfg))
