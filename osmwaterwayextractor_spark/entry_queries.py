@@ -374,11 +374,13 @@ def _derived_points(spark, sf_dir):
 def q_epsilon_pairs(spark, sf_dir, eps_m: float = 1000.0):
     """J3: distance self-join via cell equi-join + exact filter (the engine's
     ε-pair pattern on SQL-derivable points; oracle = brute-force cross join)."""
+    from .functions.tiling import join_grid_level
+
     pts = _derived_points(spark, sf_dir)
-    level = 16  # cell edge ≈ 305 m ≥ ... ring-1 covers 1 km at 0.00274°? no:
-    # at level 15 cell edge = 0.00549° ≈ 610 m lat / ~392 m lon@50° — ring-1
-    # spans ≥ 2× min(cell edge) ≥ 784 m < 1 km... use level 14 (1.22 km).
-    level = 14
+    # derived points span lat ∈ [50.0, 50.2) by construction (LAT_SQL), so
+    # the radius-calibrated grid level is static: ring-1 neighborhoods are
+    # guaranteed to cover eps_m in BOTH axes at the band's max |lat|.
+    level = join_grid_level(eps_m, 50.2)  # = 13 for eps_m = 1000
     a = pts.select(
         F.col("c_custkey").alias("key_a"),
         F.col("lat").alias("lat_a"),
@@ -412,8 +414,21 @@ WHERE {DIST_SQL} <= 1000.0
 
 
 def q_knn_top1(spark, sf_dir):
-    """J7/W6: nearest neighbor for sampled query points; rank by rounded
-    distance + key so last-ulp noise cannot flip the ranking."""
+    """J7/W6: EXACT nearest neighbor via the engine's ring-cell join — no
+    cartesian product anywhere in the plan (operators/spatial.py pattern).
+
+    Completeness argument: any point outside a query's ring-1 neighborhood at
+    level L is ≥ one full cell away in latitude or longitude, i.e. its
+    equirectangular distance is ≥ G(L) = cell_width° · 111000 · cos(50.2°)
+    (the data's lat band is [50.0, 50.2) by construction). So a ring-1 best
+    candidate with dist ≤ G(L) is provably the global NN. The rare residual
+    queries (none on this data) are re-resolved through a second ring-1 join
+    at level 9, whose 3×3 neighborhood covers the data's entire 0.2°×0.3°
+    bbox — still an equi-join, never a crossJoin; the residual subtree sees
+    zero rows at runtime."""
+    from .functions.tiling import cell_width_deg, join_grid_level
+    from .operators.cluster import _cell_expr, _ring_cells_expr
+
     pts = _derived_points(spark, sf_dir)
     q = pts.where(F.col("c_custkey") % 30 == 0).select(
         F.col("c_custkey").alias("qkey"), F.col("lat").alias("lat_a"), F.col("lon").alias("lon_a")
@@ -421,17 +436,31 @@ def q_knn_top1(spark, sf_dir):
     c = pts.select(
         F.col("c_custkey").alias("nkey"), F.col("lat").alias("lat_b"), F.col("lon").alias("lon_b")
     )
-    scored = (
-        q.crossJoin(c)
-        .where(F.col("qkey") != F.col("nkey"))
-        .withColumn("dist_m", F.round(F.expr(DIST_SQL), 6))
-    )
-    w = Window.partitionBy("qkey").orderBy("dist_m", "nkey")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("qkey", "nkey", "dist_m")
-    )
+
+    def _ring_top1(queries, level):
+        left = queries.withColumn("cell", F.explode(_ring_cells_expr("lat_a", "lon_a", level)))
+        right = c.withColumn("cell", _cell_expr("lat_b", "lon_b", level))
+        scored = (
+            left.join(right, "cell")
+            .where(F.col("qkey") != F.col("nkey"))
+            .drop("cell")
+            .distinct()
+            .withColumn("dist_m", F.round(F.expr(DIST_SQL), 6))
+        )
+        w = Window.partitionBy("qkey").orderBy("dist_m", "nkey")
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("qkey", "nkey", "dist_m", "lat_a", "lon_a")
+        )
+
+    level = join_grid_level(2000.0, 50.2)  # = 12; guarantee below
+    guarantee_m = cell_width_deg(level) * 111000.0 * 0.6401  # cos(50.2°) lower bound
+    top = _ring_top1(q, level)
+    resolved = top.where(F.col("dist_m") <= F.lit(guarantee_m))
+    residual_q = q.join(resolved.select("qkey"), "qkey", "left_anti")
+    fallback = _ring_top1(residual_q, 9)  # level-9 ring-1 ⊇ the data bbox
+    return resolved.unionByName(fallback).select("qkey", "nkey", "dist_m")
 
 
 SQL_KNN_TOP1 = f"""

@@ -77,6 +77,16 @@ def test_waterway_queries_run(spark):
         assert df.count() > 0, name
 
 
+def test_knn_top1_plan_has_no_cartesian(spark):
+    """The exact-NN query must stay an equi-join pipeline end to end —
+    a crossJoin here was round 1's single most expensive bench query."""
+    from osmwaterwayextractor_spark.entry_queries import q_knn_top1
+
+    plan = q_knn_top1(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
