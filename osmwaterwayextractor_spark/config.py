@@ -50,6 +50,13 @@ class EngineConfig:
     salt_buckets: int = 8             # explicit salting for hot node ids
     arrow_batch_size: int = 2048      # fat geometry rows per Arrow batch
 
+    # QA thresholds (reference config.yaml:152-162 + Config :140-143; the
+    # reference declares them but never evaluates them — this engine enforces
+    # them post-build, operators.qa.enforce_qa_thresholds)
+    max_unsnapped_near_miss_pct: float = 0.1  # % of nodes, 0..100
+    min_width_parse_success_rate: float = 0.7  # fraction, 0..1
+    max_crossing_edges_pct: float = 1.0  # % of edges, 0..100
+
     # graft: checkpoint/resume (SURVEY.md §2.8, S9)
     checkpoint_dir: Optional[str] = None
     resume: bool = True
@@ -155,6 +162,14 @@ class EngineConfig:
                 kw[k] = clus[k]
         if "hash_length" in ids:
             kw["hash_length"] = ids["hash_length"]
+        thr = raw.get("qa", {}).get("qa_thresholds", {})
+        for k in (
+            "max_unsnapped_near_miss_pct",
+            "min_width_parse_success_rate",
+            "max_crossing_edges_pct",
+        ):
+            if k in thr:
+                kw[k] = thr[k]
         return cls(**kw)
 
 

@@ -269,11 +269,12 @@ SELECT DISTINCT nationkey FROM (
 
 
 def q_dense_ids(spark, sf_dir):
-    """W3/W4: deterministic dense sequential ids."""
-    w = Window.orderBy("c_custkey")
-    return _t(spark, sf_dir, "customer").select(
-        "c_custkey", (F.row_number().over(w) - 1).alias("seq_id")
-    )
+    """W3/W4: deterministic dense sequential ids — partition-offset pattern
+    (operators.ids.dense_index), no single-partition global window."""
+    from .operators.ids import dense_index
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    return dense_index(cust, "c_custkey", "seq_id").select("c_custkey", "seq_id")
 
 
 SQL_DENSE_IDS = """

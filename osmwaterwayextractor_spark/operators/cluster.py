@@ -124,36 +124,45 @@ def connected_components(points: DataFrame, edges: DataFrame, checkpoint_every: 
             return labels
 
 
-DRIVER_CC_MAX_PAIRS = 5_000_000  # collect-and-union-find below this; iterate above
+DRIVER_CC_MAX_PAIRS = 50_000  # collect-and-union-find below this; iterate above
 
 
-def snap_map(points: DataFrame, config: EngineConfig, spark: SparkSession) -> DataFrame:
+def snap_map(
+    points: DataFrame,
+    config: EngineConfig,
+    spark: SparkSession,
+    max_abs_lat: float | None = None,
+) -> DataFrame:
     """points(lat, lon) distinct → (lat, lon, snap_lat, snap_lon).
 
     ε-pairs are vastly fewer than points (only near-coincident endpoints
-    qualify), so the common path collects JUST the pair edges and runs exact
-    union-find + centroids in NumPy on the driver, then broadcast-joins the
-    (tiny) non-identity mapping back onto the full point set — zero CC
-    iterations, zero extra shuffles. Above ``DRIVER_CC_MAX_PAIRS`` the
-    distributed min-label propagation path takes over (same partitions by
-    construction: connected components are algorithm-independent).
+    qualify), so the common path runs exactly TWO driver actions: a tiny
+    max|lat| agg (grid-level calibration; pass ``max_abs_lat`` to skip it)
+    and ONE bounded ``limit(MAX+1)`` Arrow collect of the pair edges that
+    doubles as the size probe — if it returns ≤ MAX rows that IS the
+    complete pair set and exact union-find + centroids run vectorized on
+    the driver, with the (tiny) mapping broadcast-joined back onto the full
+    point set. Above ``DRIVER_CC_MAX_PAIRS`` (50k — low enough that any
+    realistic continental dataset exercises the scale path) the distributed
+    min-label propagation takes over (same partitions by construction:
+    connected components are algorithm-independent).
     """
-    stats = points.agg(
-        F.max(F.abs(F.col("lat"))).alias("maxlat"), F.count("*").alias("n")
-    ).collect()[0]
+    if max_abs_lat is None:
+        max_abs_lat = points.agg(F.max(F.abs(F.col("lat")))).collect()[0][0]
     identity = points.select(
         "lat", "lon", F.col("lat").alias("snap_lat"), F.col("lon").alias("snap_lon")
     )
-    if stats["n"] == 0:
+    if max_abs_lat is None:  # empty input
         return identity
     pair_edges = epsilon_pair_edges(
-        points, config.snap_tolerance_m, float(stats["maxlat"])
-    ).cache()
-    n_pairs = pair_edges.count()
-    if n_pairs == 0:
+        points, config.snap_tolerance_m, float(max_abs_lat)
+    )
+    head = pair_edges.limit(DRIVER_CC_MAX_PAIRS + 1).toPandas()
+    if len(head) == 0:
         return identity
-    if n_pairs <= DRIVER_CC_MAX_PAIRS:
-        return _snap_map_driver(points, pair_edges, config, spark)
+    if len(head) <= DRIVER_CC_MAX_PAIRS:
+        return _snap_map_driver(points, head, config, spark)
+    pair_edges = pair_edges.localCheckpoint(eager=True)  # reused every CC iteration
     labels = connected_components(points, pair_edges)
 
     @pandas_udf("struct<snap_lat:double, snap_lon:double, max_disp:double>")
@@ -198,49 +207,49 @@ def snap_map(points: DataFrame, config: EngineConfig, spark: SparkSession) -> Da
 
 
 def _snap_map_driver(
-    points: DataFrame, pair_edges: DataFrame, config: EngineConfig, spark: SparkSession
+    points: DataFrame, pairs_pdf: pd.DataFrame, config: EngineConfig, spark: SparkSession
 ) -> DataFrame:
     """Exact union-find + centroids over the (small) involved-point set on
-    the driver; mapping broadcast-joined back onto all points. Bit-identical
-    to the distributed path: same partitions, same sorted-member centroid
-    kernel, same displacement abort (reference :1314-1317)."""
-    import numpy as np
-
+    the driver — array-vectorized, no per-row Python except the ≤50k-step
+    union loop and the per-CLUSTER centroid calls (whose summation order is
+    the bit-parity contract, functions.clustering.centroid_of_members).
+    Mapping broadcast-joined back onto all points. Bit-identical to the
+    distributed path: same partitions, same sorted-member centroid kernel,
+    same displacement abort (reference :1314-1317)."""
     from ..functions.clustering import UnionFind
 
-    rows = pair_edges.select("lat", "lon", "nlat", "nlon").collect()
-    coords: dict[tuple, int] = {}
-    for r in rows:
-        for c in ((r["lat"], r["lon"]), (r["nlat"], r["nlon"])):
-            if c not in coords:
-                coords[c] = len(coords)
-    uf = UnionFind(len(coords))
-    for r in rows:
-        uf.union(coords[(r["lat"], r["lon"])], coords[(r["nlat"], r["nlon"])])
-    inv = [None] * len(coords)
-    for c, i in coords.items():
-        inv[i] = c
+    a = pairs_pdf[["lat", "lon"]].to_numpy(dtype=np.float64)
+    b = pairs_pdf[["nlat", "nlon"]].to_numpy(dtype=np.float64)
+    uniq, inv = np.unique(np.concatenate([a, b], axis=0), axis=0, return_inverse=True)
+    n_pairs = a.shape[0]
+    uf = UnionFind(uniq.shape[0])
+    for x, y in zip(inv[:n_pairs].tolist(), inv[n_pairs:].tolist()):
+        uf.union(x, y)
     labels = uf.labels()
+    order = np.argsort(labels, kind="stable")
+    slab = labels[order]
+    starts = np.concatenate([[0], np.nonzero(np.diff(slab))[0] + 1, [slab.shape[0]]])
+    snap_lat = np.empty(uniq.shape[0])
+    snap_lon = np.empty(uniq.shape[0])
     max_allowed = config.snap_tolerance_m * config.max_displacement_multiplier
-    mapping_rows: list[tuple] = []
-    for root in np.unique(labels):
-        members = np.nonzero(labels == root)[0]
-        mlat = np.array([inv[int(m)][0] for m in members])
-        mlon = np.array([inv[int(m)][1] for m in members])
-        if members.shape[0] == 1:
-            cen = (float(mlat[0]), float(mlon[0]))
+    for s, e in zip(starts[:-1], starts[1:]):
+        idx = order[s:e]
+        mlat, mlon = uniq[idx, 0], uniq[idx, 1]
+        if idx.shape[0] == 1:
+            cla, clo = float(mlat[0]), float(mlon[0])
         else:
-            cen = centroid_of_members(mlat, mlon)
+            cla, clo = centroid_of_members(mlat, mlon)
             disp = geodesic_m(
-                mlat, mlon, np.full(len(members), cen[0]), np.full(len(members), cen[1])
+                mlat, mlon, np.full(idx.shape[0], cla), np.full(idx.shape[0], clo)
             )
             if float(disp.max()) > max_allowed:
                 raise ValueError("Cluster displacement exceeds safety threshold")
-        for m in members:
-            c = inv[int(m)]
-            mapping_rows.append((float(c[0]), float(c[1]), cen[0], cen[1]))
+        snap_lat[idx] = cla
+        snap_lon[idx] = clo
     mapping = spark.createDataFrame(
-        mapping_rows, "lat double, lon double, snap_lat double, snap_lon double"
+        pd.DataFrame(
+            {"lat": uniq[:, 0], "lon": uniq[:, 1], "snap_lat": snap_lat, "snap_lon": snap_lon}
+        )
     )
     from pyspark.sql.functions import broadcast
 

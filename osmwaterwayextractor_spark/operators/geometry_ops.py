@@ -102,8 +102,12 @@ def _with_cover_cells(segs: DataFrame, level: int, pad_deg: float) -> DataFrame:
     )
 
 
-def detect_intersections(ways: DataFrame, config: EngineConfig) -> DataFrame:
-    """→ DataFrame(plat double, plon double): distinct intersection points."""
+def detect_intersections(
+    ways: DataFrame, config: EngineConfig, keep_way_ids: bool = False
+) -> DataFrame:
+    """→ DataFrame(plat double, plon double): distinct intersection points.
+    With ``keep_way_ids`` also returns (way_a, way_b) per point — used by the
+    QA crossing-edges check to attribute unsplit crossings to edges."""
     segs = _segments(ways)
     covered = _with_cover_cells(segs, INTERSECT_CELL_LEVEL, 0.0)
     a = covered.select(
@@ -138,11 +142,17 @@ def detect_intersections(ways: DataFrame, config: EngineConfig) -> DataFrame:
         return pd.DataFrame({"hit": hit, "plat": pts[:, 0], "plon": pts[:, 1]})
 
     hits = pairs.select(
+        "way_a",
+        "way_b",
         _intersect(
             "a_lat1", "a_lon1", "a_lat2", "a_lon2",
             "b_lat1", "b_lon1", "b_lat2", "b_lon2",
-        ).alias("r")
+        ).alias("r"),
     ).where(F.col("r.hit"))
+    if keep_way_ids:
+        return hits.select(
+            "way_a", "way_b", F.col("r.plat").alias("plat"), F.col("r.plon").alias("plon")
+        ).distinct()
     return hits.select(F.col("r.plat").alias("plat"), F.col("r.plon").alias("plon")).distinct()
 
 

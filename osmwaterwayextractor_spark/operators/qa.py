@@ -78,6 +78,116 @@ def displacement_metrics(snap: DataFrame, config: EngineConfig) -> dict:
     return d
 
 
+class QAThresholdError(ValueError):
+    """A built graph failed the configured qa_thresholds gate."""
+
+
+def qa_threshold_checks(
+    nodes: DataFrame,
+    edges: DataFrame,
+    config: EngineConfig,
+    near_miss_radius_m: float | None = None,
+) -> dict:
+    """Compute the three reference qa_threshold metrics (config.yaml:152-162).
+
+    The reference DECLARES these thresholds but never evaluates them; this
+    engine defines the metrics explicitly (documented deviation):
+
+    - ``unsnapped_near_miss_pct``: % of final nodes that are dangling
+      (degree 1) AND have a foreign waterway vertex within
+      ``near_miss_radius_m`` (default 2× snap tolerance — anything closer
+      than the tolerance was already ε-snapped, so (tol, 2·tol] is the
+      "should this have merged?" band). Uses the distributed kNN op.
+    - ``width_parse_success_rate``: edges_with_width_m / edges_with_width_raw
+      as a FRACTION (config.yaml declares 0..1).
+    - ``crossing_edges_pct``: % of edges that geometrically cross another
+      edge at a point that is not a graph node (intersection insertion
+      should have split these; re-detects on the FINAL edge geometries).
+    """
+    from .geometry_ops import detect_intersections
+    from .spatial import knn_snap_dangling
+
+    radius = near_miss_radius_m or 2.0 * config.snap_tolerance_m
+    n_nodes = nodes.count()
+    n_edges = edges.count()
+
+    near_miss = (
+        knn_snap_dangling(nodes, edges, config, radius_m=radius).count()
+        if n_nodes
+        else 0
+    )
+
+    wagg = edges.agg(
+        F.sum(F.when(F.col("width_raw") != "", 1).otherwise(0)).alias("raw"),
+        F.sum(F.when(F.col("width_m").isNotNull(), 1).otherwise(0)).alias("m"),
+    ).collect()[0]
+    with_raw, with_m = wagg["raw"] or 0, wagg["m"] or 0
+
+    crossing_edges = 0
+    if n_edges:
+        as_ways = edges.select(
+            F.col("id").alias("way_id"), "lats", "lons"
+        ).withColumn("tags", F.expr("map()").cast("map<string,string>"))
+        xpts = detect_intersections(as_ways, config, keep_way_ids=True)
+        # intersection points that are NOT graph nodes = unsplit crossings
+        unsplit = xpts.join(
+            nodes.select(F.col("lat").alias("plat"), F.col("lon").alias("plon")),
+            ["plat", "plon"],
+            "left_anti",
+        )
+        crossing_edges = (
+            unsplit.select(F.explode(F.array("way_a", "way_b")).alias("id"))
+            .distinct()
+            .count()
+        )
+
+    return {
+        "near_miss_radius_m": radius,
+        "unsnapped_near_miss_count": near_miss,
+        "unsnapped_near_miss_pct": (near_miss / n_nodes * 100.0) if n_nodes else 0.0,
+        "edges_with_width_raw": with_raw,
+        "edges_with_width_m": with_m,
+        "width_parse_success_rate": (with_m / with_raw) if with_raw else 1.0,
+        "crossing_edges_count": crossing_edges,
+        "crossing_edges_pct": (crossing_edges / n_edges * 100.0) if n_edges else 0.0,
+    }
+
+
+def enforce_qa_thresholds(
+    nodes: DataFrame,
+    edges: DataFrame,
+    config: EngineConfig,
+    near_miss_radius_m: float | None = None,
+) -> dict:
+    """Post-build gate: raise QAThresholdError listing every violated
+    threshold (reference declares the thresholds at config.yaml:152-162 and
+    Config :140-143; enforcement is this engine's addition). Returns the
+    computed checks dict on success for the manifest."""
+    checks = qa_threshold_checks(nodes, edges, config, near_miss_radius_m)
+    violations = []
+    if checks["unsnapped_near_miss_pct"] > config.max_unsnapped_near_miss_pct:
+        violations.append(
+            f"unsnapped_near_miss_pct {checks['unsnapped_near_miss_pct']:.4f} > "
+            f"max {config.max_unsnapped_near_miss_pct}"
+        )
+    if (
+        checks["edges_with_width_raw"] > 0
+        and checks["width_parse_success_rate"] < config.min_width_parse_success_rate
+    ):
+        violations.append(
+            f"width_parse_success_rate {checks['width_parse_success_rate']:.4f} < "
+            f"min {config.min_width_parse_success_rate}"
+        )
+    if checks["crossing_edges_pct"] > config.max_crossing_edges_pct:
+        violations.append(
+            f"crossing_edges_pct {checks['crossing_edges_pct']:.4f} > "
+            f"max {config.max_crossing_edges_pct}"
+        )
+    if violations:
+        raise QAThresholdError("QA thresholds violated: " + "; ".join(violations))
+    return checks
+
+
 def waterway_type_histogram(edges: DataFrame) -> DataFrame:
     """A9 (:1375-1387): waterway-type counts, descending."""
     return (

@@ -67,45 +67,70 @@ class WaterwayEngine:
             print(f"[stage] {name}: {time.time() - t0:.2f}s", flush=True)
         return out
 
+    def _stages_concurrent(self, named: list[tuple[str, DataFrame]]) -> list[DataFrame]:
+        """Materialize independent stages from concurrent driver threads so
+        their Spark jobs overlap (the round-1 pipeline ran ~40 jobs strictly
+        serially — the dominant anti-scaling cost). The durable-checkpoint
+        path stays serial: resume semantics over one manifest dir are not
+        worth racing."""
+        if self.checkpointer is not None or len(named) == 1:
+            return [self._stage(n, df) for n, df in named]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(len(named)) as pool:
+            futs = [pool.submit(self._stage, n, df) for n, df in named]
+            return [f.result() for f in futs]
+
     def build_graph(self, docs: DataFrame, spark: Optional[SparkSession] = None) -> GraphResult:
         spark = spark or docs.sparkSession
         cfg = self.config
 
-        # parse outputs materialize once (assembly consumes ways twice and
+        # Parse outputs materialize once (assembly consumes ways twice and
         # nodes once; recomputing the span explode+JSON parse per consumer
-        # was the dominant cost of the assembled stage)
-        nodes_raw = self._stage("parsed", parse_nodes(docs, cfg))
+        # was the dominant cost of the assembly join). The two parse scans
+        # are independent — they run concurrently.
         if cfg.local_first_assembly:
             from ..operators.assemble_local import assemble_local_first
 
-            assembled = self._stage("assembled", assemble_local_first(docs, nodes_raw, cfg))
+            nodes_raw = self._stage("parsed", parse_nodes(docs, cfg))
+            assembled = assemble_local_first(docs, nodes_raw, cfg)
         else:
-            ways_raw = self._stage("parsed_ways", parse_ways(docs, cfg))
-            assembled = self._stage("assembled", assemble_geometries(ways_raw, nodes_raw, cfg))
+            nodes_raw, ways_raw = self._stages_concurrent(
+                [("parsed", parse_nodes(docs, cfg)), ("parsed_ways", parse_ways(docs, cfg))]
+            )
+            assembled = assemble_geometries(ways_raw, nodes_raw, cfg)
+        # clean+simplify is a narrow Arrow pass — fused into the assembly job
         simplified = self._stage("simplified", clean_and_simplify(assembled, cfg))
 
         if cfg.enable_intersection_detection:
-            points = detect_intersections(simplified, cfg).cache()
-            # (<2 ways trivially yields no intersection points — reference's
-            # early-out :1820 is subsumed; skip the insert stage when empty)
-            if points.isEmpty():
-                intersected = simplified
-            else:
-                intersected = self._stage(
-                    "intersections", insert_intersections(simplified, points, cfg)
-                )
+            # detect feeds insert lazily: insert's left join passes ways with
+            # no candidate points through untouched, so the empty-point case
+            # needs no isEmpty() driver probe — one materialization total
+            points = detect_intersections(simplified, cfg)
+            intersected = self._stage(
+                "intersections", insert_intersections(simplified, points, cfg)
+            )
         else:
             intersected = simplified
 
-        domain = clustering_domain_fast(intersected)
+        # the snap domain is consumed 4× inside snap_map (max-lat agg, both
+        # sides of the ε-pair join, the final mapping join) — materialize it
+        # once instead of recomputing the vertex groupBy per consumer
+        domain = self._stage("clustering_domain", clustering_domain_fast(intersected))
         snap = self._stage("clustering", snap_map(domain, cfg, spark))
 
-        edges = self._stage("edges", build_edges(intersected, snap, cfg))
-        nodes = self._stage("nodes", build_nodes(snap, cfg))
+        # edges and nodes are independent given (intersected, snap) — overlap
+        edges, nodes = self._stages_concurrent(
+            [("edges", build_edges(intersected, snap, cfg)), ("nodes", build_nodes(snap, cfg))]
+        )
 
         nodes_t = with_node_cells(nodes, cfg)
         edges_t = with_edge_cells(edges, cfg)
-        rollup = self._stage("tiles", channel_density_rollup(edges_t, cfg))
+        # rollup stays lazy: one map-combinable groupBy over checkpointed
+        # edges — a barrier here would serialize the tail for no reuse gain
+        rollup = channel_density_rollup(edges_t, cfg)
+        if self.checkpointer is not None:
+            rollup = self._stage("tiles", rollup)
         return GraphResult(nodes=nodes_t, edges=edges_t, tile_rollup=rollup)
 
 

@@ -21,7 +21,6 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def edges_with_coord_structs(edges: DataFrame) -> DataFrame:
@@ -88,9 +87,11 @@ def save_geojson(edges: DataFrame, out_path: str, single_file_limit: int = 1_000
 
 def jsongz_frames(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     """S6 (:2784-2839): nodes as positional [lat, lon]; edges reference nodes
-    by integer index. Index = row_number-1 over node id (deterministic)."""
-    w = Window.orderBy("id")
-    node_idx = nodes.select("id", "lat", "lon", (F.row_number().over(w) - 1).alias("node_index"))
+    by integer index. Index = dense position in node-id order — assigned via
+    the partition-offset pattern (operators.ids), never a global window."""
+    from ..operators.ids import dense_index
+
+    node_idx = dense_index(nodes, "id", "node_index").select("id", "lat", "lon", "node_index")
     nodes_out = node_idx.orderBy("node_index").select("node_index", "lat", "lon")
     e = edges.select("id", "from_node_id", "to_node_id", "length_m", "lats", "lons")
     e = (
@@ -134,11 +135,14 @@ def save_jsongz(nodes: DataFrame, edges: DataFrame, out_path: str) -> None:
 
 
 def mobile_frames(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """S7 (:2912-2958): dense sequential int ids (1-based), deterministic order."""
-    wn = Window.orderBy("id")
-    nmap = nodes.select("id", "lat", "lon", F.row_number().over(wn).alias("mobile_id"))
-    we = Window.orderBy("id")
-    emap = edges.withColumn("mobile_edge_id", F.row_number().over(we))
+    """S7 (:2912-2958): dense sequential int ids (1-based), deterministic
+    order — partition-offset assignment (operators.ids), no global window."""
+    from ..operators.ids import dense_index
+
+    nmap = dense_index(nodes, "id", "mobile_id", start=1).select(
+        "id", "lat", "lon", "mobile_id"
+    )
+    emap = dense_index(edges, "id", "mobile_edge_id", start=1)
     e = (
         emap.join(nmap.select(F.col("id").alias("from_node_id"), F.col("mobile_id").alias("from_mobile_id")), "from_node_id")
         .join(nmap.select(F.col("id").alias("to_node_id"), F.col("mobile_id").alias("to_mobile_id")), "to_node_id")
@@ -156,17 +160,70 @@ def save_mobile_csv(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
     e.write.mode("overwrite").option("header", "true").csv(os.path.join(out_dir, "mobile_edges.csv"))
 
 
-def save_manifest(out_path: str, config, qa: dict, extra: Optional[dict] = None) -> None:
-    """S8 (:2966-3035): reproducibility manifest."""
+def input_fingerprint(docs: DataFrame) -> dict:
+    """Distributed content fingerprint of the input docs table — the Spark
+    replacement for the reference's whole-file SHA-256 (:3026-3035, feasible
+    only for a local file): row count + order-independent sum of per-row
+    xxhash64 over (doc_id, span sequence JSON). Any change to any span of
+    any doc changes the fingerprint."""
+    row = docs.select(
+        F.count("*").alias("rows"),
+        # decimal(38,0) accumulator: a long sum overflows under ANSI mode
+        F.sum(F.xxhash64("doc_id", F.to_json("spans")).cast("decimal(38,0)")).alias("hsum"),
+    ).collect()[0]
+    return {
+        "rows": int(row["rows"] or 0),
+        "xxh64_sum": format(int(row["hsum"] or 0) & ((1 << 64) - 1), "016x"),
+    }
+
+
+def _dir_sizes(paths: dict[str, str]) -> dict:
+    """name → total byte size (file, or recursive dir total for parquet/csv
+    output directories) — reference manifest output_files (:2996)."""
+    out = {}
+    for name, p in paths.items():
+        if os.path.isdir(p):
+            total = 0
+            for root, _dirs, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, fn)) for fn in files)
+            out[name] = total
+        elif os.path.exists(p):
+            out[name] = os.path.getsize(p)
+        else:
+            out[name] = 0
+    return out
+
+
+def save_manifest(
+    out_path: str,
+    config,
+    qa: dict,
+    extra: Optional[dict] = None,
+    input_docs: Optional[DataFrame] = None,
+    output_paths: Optional[dict] = None,
+    results: Optional[dict] = None,
+) -> None:
+    """S8 (:2966-3035): reproducibility manifest — version + timestamp,
+    input fingerprint (distributed content hash instead of a file SHA-256),
+    full parameter dump + param hash, result counts and per-sink output
+    sizes, plus the QA metric dump."""
     import dataclasses
     import hashlib
+    import time
 
     cfg = dataclasses.asdict(config)
     blob = json.dumps(cfg, sort_keys=True, default=list)
     manifest = {
         "engine": "osmwaterwayextractor_spark",
+        "version": "2.1",  # tracks the reference's manifest version (:2978)
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime()),
+        "input": input_fingerprint(input_docs) if input_docs is not None else None,
         "config": cfg,
         "param_hash": hashlib.sha256(blob.encode()).hexdigest()[:16],
+        "results": {
+            **(results or {}),
+            "output_files": _dir_sizes(output_paths or {}),
+        },
         "qa": qa,
     }
     if extra:

@@ -232,12 +232,28 @@ def generate_doc(doc_index: int, params: DocsGenParams) -> dict:
             {"waterway": "river", "name": f"{name} Mega", "width": "40 m"},
         )
 
+    # --- waterway relation grouping the doc's ways (north_star: "node/way/
+    # RELATION records arrive as spans"; deterministic — no rng draws, so
+    # node/way content is byte-identical with or without this block) ---
+    relation_records = [
+        {
+            "id": doc_index * 10 + 9,
+            "members": [
+                {"type": "way", "ref": w["id"], "role": "main_stream" if i == 0 else "side_stream"}
+                for i, w in enumerate(way_records)
+            ],
+            "tags": {"type": "waterway", "name": name},
+        }
+    ]
+
     # --- serialize into interleaved spans ---
     payloads: list[tuple[str, str, str]] = []
     for nid, la, lo in node_records:
         payloads.append(("osm_node", json.dumps({"id": nid, "lat": la, "lon": lo}), ""))
     for wrec in way_records:
         payloads.append(("osm_way", json.dumps(wrec, separators=(",", ":")), ""))
+    for rrec in relation_records:
+        payloads.append(("osm_relation", json.dumps(rrec, separators=(",", ":")), ""))
     n_noise = int(rng.integers(0, params.noise_spans_max + 1))
     for k in range(n_noise):
         if rng.random() < 0.5:

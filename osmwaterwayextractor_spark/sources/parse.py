@@ -27,6 +27,10 @@ from ..functions.geodesy import round_coords
 
 NODE_JSON_SCHEMA = "id bigint, lat double, lon double"
 WAY_JSON_SCHEMA = "id bigint, refs array<bigint>, tags map<string,string>"
+RELATION_JSON_SCHEMA = (
+    "id bigint, members array<struct<type:string,ref:bigint,role:string>>, "
+    "tags map<string,string>"
+)
 
 
 def _round_udf(precision: int):
@@ -123,3 +127,23 @@ def parse_ways(docs: DataFrame, config: EngineConfig) -> DataFrame:
         )
     # reference P2 precursor: a way needs ≥2 refs to ever form a segment
     return ways.where(F.size("refs") >= 2)
+
+
+def parse_relations(docs: DataFrame, config: EngineConfig) -> DataFrame:
+    """osm_relation spans → (relation_id long, members array<struct>, tags).
+
+    The reference's graph builder consumes only nodes and ways (its osmium
+    handler :1368-1418 defines node/way callbacks; relations never feed the
+    edge set) — this engine matches that: relations are parsed, preserved and
+    countable, but intentionally NOT used in graph assembly (documented
+    non-use, BASELINE.json north_star sentence 1)."""
+    spans = explode_spans(docs)
+    return (
+        spans.where(F.col("kind") == "osm_relation")
+        .select(F.from_json("text", RELATION_JSON_SCHEMA).alias("r"))
+        .select(
+            F.col("r.id").alias("relation_id"),
+            F.col("r.members").alias("members"),
+            F.col("r.tags").alias("tags"),
+        )
+    )

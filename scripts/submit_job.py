@@ -24,6 +24,11 @@ def main() -> None:
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--config", default=None, help="reference-shaped YAML")
     ap.add_argument("--keep-all-waterway-types", action="store_true")
+    ap.add_argument(
+        "--skip-qa-gate",
+        action="store_true",
+        help="report qa_threshold checks in the manifest without failing the run",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,7 +60,30 @@ def main() -> None:
     writers.save_parquet(g.nodes, g.edges, args.out)
     g.tile_rollup.write.mode("overwrite").parquet(os.path.join(args.out, "tile_rollup.parquet"))
     qa = qa_metrics(g.nodes, g.edges, cfg)
-    writers.save_manifest(os.path.join(args.out, "manifest.json"), cfg, qa)
+
+    # QA gate: fail the run on threshold violations (config.yaml:152-162)
+    from osmwaterwayextractor_spark.operators.qa import (
+        enforce_qa_thresholds,
+        qa_threshold_checks,
+    )
+
+    if args.skip_qa_gate:
+        qa["qa_threshold_checks"] = qa_threshold_checks(g.nodes, g.edges, cfg)
+    else:
+        qa["qa_threshold_checks"] = enforce_qa_thresholds(g.nodes, g.edges, cfg)
+
+    writers.save_manifest(
+        os.path.join(args.out, "manifest.json"),
+        cfg,
+        qa,
+        input_docs=docs,
+        output_paths={
+            "nodes.parquet": os.path.join(args.out, "nodes.parquet"),
+            "edges.parquet": os.path.join(args.out, "edges.parquet"),
+            "tile_rollup.parquet": os.path.join(args.out, "tile_rollup.parquet"),
+        },
+        results={"final_nodes": qa["final_nodes"], "final_edges": qa["final_edges"]},
+    )
     print({"nodes": qa["final_nodes"], "edges": qa["final_edges"]})
     spark.stop()
 

@@ -27,6 +27,8 @@ def test_generator_payloads_parse_and_prefix_closed():
     docs = [generate_doc(i, PARAMS) for i in range(60)]
     node_ids = set()
     ref_ids = []
+    way_ids = set()
+    rel_member_refs = []
     kinds = set()
     for d in docs:
         offsets = [s["offset"] for s in d["spans"]]
@@ -41,11 +43,17 @@ def test_generator_payloads_parse_and_prefix_closed():
                 rec = json.loads(s["text"])
                 assert len(rec["refs"]) >= 2
                 ref_ids.extend(rec["refs"])
+                way_ids.add(rec["id"])
+            elif s["kind"] == "osm_relation":
+                rec = json.loads(s["text"])
+                assert rec["tags"]["type"] == "waterway"
+                rel_member_refs.extend(m["ref"] for m in rec["members"])
             elif s["kind"] == "media":
                 assert s["media_ref"].startswith("s3://")
     # prefix closure: every ref resolves within the generated range
     assert set(ref_ids) <= node_ids
-    assert kinds == {"osm_node", "osm_way", "text", "media"}
+    assert set(rel_member_refs) <= way_ids  # relation members resolve to ways
+    assert kinds == {"osm_node", "osm_way", "osm_relation", "text", "media"}
     # mega-way present
     assert any(
         len(json.loads(s["text"]).get("refs", [])) >= PARAMS.mega_refs
@@ -124,3 +132,32 @@ def test_span_invariant_through_spark_roundtrip(spark, tmp_path):
     got_ways = {r["way_id"]: (list(r["refs"]), dict(r["tags"])) for r in ways.collect()}
     want_ways = {w["id"]: (list(w["refs"]), dict(w["tags"])) for w in oways}
     assert got_ways == want_ways
+
+
+def test_relation_spans_parse_and_roundtrip(spark):
+    """All THREE record kinds arrive as spans (north_star sentence 1): the
+    relation parser recovers id/members/tags exactly; members reference the
+    doc's ways. Relations are deliberately unused in graph assembly
+    (reference handler :1368-1418 has no relation callback)."""
+    from osmwaterwayextractor_spark.sources.docsgen import docs_dataframe
+    from osmwaterwayextractor_spark.sources.parse import parse_relations
+
+    cfg = EngineConfig(filter_waterway_types=False)
+    docs = docs_dataframe(spark, 30, PARAMS, partitions=4)
+    rels = parse_relations(docs, cfg).collect()
+    assert len(rels) == 30  # one waterway relation per doc
+
+    want = {}
+    for i in range(30):
+        d = generate_doc(i, PARAMS)
+        for s in d["spans"]:
+            if s["kind"] == "osm_relation":
+                rec = json.loads(s["text"])
+                want[rec["id"]] = rec
+    for r in rels:
+        w = want[r["relation_id"]]
+        assert [(m["type"], m["ref"], m["role"]) for m in r["members"]] == [
+            (m["type"], m["ref"], m["role"]) for m in w["members"]
+        ]
+        assert dict(r["tags"]) == w["tags"]
+        assert r["members"][0]["role"] == "main_stream"

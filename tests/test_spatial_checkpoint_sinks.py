@@ -204,6 +204,25 @@ def test_sinks_roundtrip(spark, tmp_path):
     assert qa["width_parse_success_rate"] == 100.0
     hist = {r["waterway_type"]: r["n_edges"] for r in waterway_type_histogram(g.edges).collect()}
     assert hist == {"river": 3, "stream": 4}
-    writers.save_manifest(str(tmp_path / "manifest.json"), CFG, qa)
+    docs = _docs_df(spark, fixture_4way_docs())
+    writers.save_manifest(
+        str(tmp_path / "manifest.json"),
+        CFG,
+        qa,
+        input_docs=docs,
+        output_paths={"nodes.parquet": os.path.join(out, "nodes.parquet"),
+                      "edges.parquet": os.path.join(out, "edges.parquet")},
+        results={"final_nodes": qa["final_nodes"], "final_edges": qa["final_edges"]},
+    )
     m = json.load(open(tmp_path / "manifest.json"))
     assert m["qa"]["final_edges"] == 7 and len(m["param_hash"]) == 16
+    # reproducibility fields (reference manifest :2966-3035)
+    assert m["input"]["rows"] == docs.count()
+    assert len(m["input"]["xxh64_sum"]) == 16
+    assert m["results"]["final_edges"] == 7
+    assert m["results"]["output_files"]["edges.parquet"] > 0
+    assert m["version"] == "2.1" and "timestamp" in m
+    # fingerprint is content-sensitive: drop a doc → different hash
+    fp_full = writers.input_fingerprint(docs)
+    fp_less = writers.input_fingerprint(docs.limit(docs.count() - 1))
+    assert fp_full != fp_less
