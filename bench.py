@@ -24,17 +24,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def build_session(cpus: int):
     from osmwaterwayextractor_spark.plans.pipeline import spark_session
 
+    extra = {
+        "spark.driver.memory": "48g",
+        "spark.sql.autoBroadcastJoinThreshold": "64MB",
+        # shuffle/spill on tmpfs: the sandbox's virtio disk has high and
+        # variable latency that otherwise dominates small-stage wall time
+        "spark.local.dir": "/dev/shm/spark-local",
+    }
+    if os.environ.get("SPARK_GRAFT_BENCH_MODE") == "pipeline":
+        # AQE's per-shuffle re-planning is serial driver latency (~20% of
+        # pipeline wall measured at 50k docs); the pipeline carries its own
+        # explicit skew defenses (salted assembly join, dense-cell re-split),
+        # so the scaling runs disable it. Ad-hoc queries keep AQE.
+        extra["spark.sql.adaptive.enabled"] = "false"
     return spark_session(
         app="osmwwe-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 16),
-        extra={
-            "spark.driver.memory": "48g",
-            "spark.sql.autoBroadcastJoinThreshold": "64MB",
-            # shuffle/spill on tmpfs: the sandbox's virtio disk has high and
-            # variable latency that otherwise dominates small-stage wall time
-            "spark.local.dir": "/dev/shm/spark-local",
-        },
+        extra=extra,
     )
 
 

@@ -41,6 +41,11 @@ class EngineConfig:
     tile_resolutions: tuple[int, ...] = (7, 8, 9)
 
     # graft: scale knobs
+    # J5 skew cap: cells with more covering segments than this re-split to
+    # child cells (8× finer per axis), bounding the quadratic per-cell
+    # candidate fan-out of the intersection self-join. Output-invariant —
+    # deliberately NOT part of any step-param hash.
+    intersect_cell_cap: int = 512
     # local-first assembly (assemble_local.py) avoids the ref⋈node shuffle
     # for doc-local ways but pays Python-side span parsing; the JVM from_json
     # + sort-based reassembly wins in this environment → off by default
@@ -64,8 +69,10 @@ class EngineConfig:
     # ---- step-parameter subsets (reference :249-327): changing a late-stage
     # knob must not invalidate early-stage checkpoints.
     _STEP_PARAMS = {
-        "parsed": ("waterway_types", "filter_waterway_types", "coordinate_precision"),
-        "parsed_ways": ("waterway_types", "filter_waterway_types"),
+        # parse_osm rounds coordinates only; the waterway-type filter applies
+        # AFTER the checkpoint (ways_from_parsed), so changing the type list
+        # correctly does not invalidate the parsed cache
+        "parsed": ("coordinate_precision",),
         "assembled": (
             "waterway_types",
             "filter_waterway_types",
@@ -120,6 +127,27 @@ class EngineConfig:
             "hash_length",
         ),
         "tiles": ("tile_resolutions",),
+        "nodes_tiled": (
+            "coordinate_precision",
+            "enable_geometry_simplification",
+            "simplification_tolerance_m",
+            "enable_intersection_detection",
+            "snap_tolerance_m",
+            "max_displacement_multiplier",
+            "hash_length",
+            "tile_resolutions",
+        ),
+        "edges_tiled": (
+            "coordinate_precision",
+            "enable_geometry_simplification",
+            "simplification_tolerance_m",
+            "enable_intersection_detection",
+            "snap_tolerance_m",
+            "max_displacement_multiplier",
+            "min_fragment_length_m",
+            "hash_length",
+            "tile_resolutions",
+        ),
     }
 
     def step_param_hash(self, step: str) -> str:

@@ -414,6 +414,59 @@ WHERE {DIST_SQL} <= 1000.0
 """
 
 
+def q_edge_covering(spark, sf_dir, level: int = 15):
+    """F14/S2-covering analog: cells overlapped by each customer→supplier
+    segment's bbox (operators.tiles.edge_covering_col, pure Catalyst),
+    exploded to one (key, cell) row for robust cross-engine hashing."""
+    from .operators.tiles import edge_covering_col
+
+    lat_b_sql = LAT_SQL.replace("c_custkey", "(c_custkey + 13)")
+    lon_b_sql = LON_SQL.replace("c_custkey", "(c_custkey + 13)")
+    seg = (
+        _derived_points(spark, sf_dir)
+        .where(F.col("c_custkey") % 20 == 0)
+        .withColumn("lat_b", F.expr(lat_b_sql))
+        .withColumn("lon_b", F.expr(lon_b_sql))
+        .select(
+            "c_custkey",
+            F.array("lat", "lat_b").alias("lats"),
+            F.array("lon", "lon_b").alias("lons"),
+        )
+    )
+    return seg.select(
+        "c_custkey", F.explode(edge_covering_col("lats", "lons", level)).alias("cell")
+    )
+
+
+def _sql_edge_covering(level: int = 15) -> str:
+    w = repr(180.0 / (1 << level))
+    lat_b = LAT_SQL.replace("c_custkey", "(c_custkey + 13)")
+    lon_b = LON_SQL.replace("c_custkey", "(c_custkey + 13)")
+    return f"""
+WITH seg AS (
+  SELECT c_custkey,
+         least({LAT_SQL}, {lat_b}) AS lat_lo,
+         greatest({LAT_SQL}, {lat_b}) AS lat_hi,
+         least({LON_SQL}, {lon_b}) AS lon_lo,
+         greatest({LON_SQL}, {lon_b}) AS lon_hi
+  FROM customer
+  WHERE c_custkey % 20 = 0
+), bounds AS (
+  SELECT c_custkey,
+         cast(floor((lon_lo + 180.0) / {w}) AS BIGINT) AS xlo,
+         cast(floor((lon_hi + 180.0) / {w}) AS BIGINT) AS xhi,
+         cast(floor((lat_lo + 90.0) / {w}) AS BIGINT) AS ylo,
+         cast(floor((lat_hi + 90.0) / {w}) AS BIGINT) AS yhi
+  FROM seg
+)
+SELECT c_custkey,
+       (cast({level} AS BIGINT) * {1 << 52} + (xx << 26) + yy) AS cell
+FROM bounds,
+     LATERAL unnest(generate_series(xlo, xhi)) AS tx(xx),
+     LATERAL unnest(generate_series(ylo, yhi)) AS ty(yy)
+"""
+
+
 def q_knn_top1(spark, sf_dir):
     """J7/W6: EXACT nearest neighbor via the engine's ring-cell join — no
     cartesian product anywhere in the plan (operators/spatial.py pattern).
@@ -786,6 +839,7 @@ def queries():
         "cell_assign": q_cell_assign,
         "tile_rollup": q_tile_rollup,
         "epsilon_pairs": q_epsilon_pairs,
+        "edge_covering": q_edge_covering,
         "knn_top1": q_knn_top1,
         "pip_triangle": q_pip_triangle,
         "events_hourly": q_events_hourly,
@@ -825,6 +879,7 @@ def oracle_sql():
         "cell_assign": SQL_CELL_ASSIGN,
         "tile_rollup": SQL_TILE_ROLLUP,
         "epsilon_pairs": SQL_EPSILON_PAIRS,
+        "edge_covering": _sql_edge_covering(),
         "knn_top1": SQL_KNN_TOP1,
         "pip_triangle": SQL_PIP_TRIANGLE,
         "events_hourly": SQL_EVENTS_HOURLY,

@@ -102,6 +102,43 @@ def _with_cover_cells(segs: DataFrame, level: int, pad_deg: float) -> DataFrame:
     )
 
 
+DENSE_CELL_SPLIT_LEVELS = 3  # dense cells re-split 8× finer per axis
+
+
+def _resplit_dense_cells(
+    covered: DataFrame, level: int, cap: int, pad_deg: float
+) -> DataFrame:
+    """Skew defense for the segment-pair self-join: the per-cell candidate
+    count is quadratic in per-cell segment count, so any cell whose segment
+    count exceeds ``cap`` has its segments re-covered at ``level + 3`` (8×
+    finer per axis), restricted to child cells of the dense parent.
+
+    Completeness is preserved per region: an intersecting pair inside a dense
+    cell has the intersection point inside both padded bboxes, so both
+    segments cover the CHILD cell containing the point and still meet in the
+    equi-join. Mixed-level cell ids never collide (level lives in the id's
+    high bits)."""
+    counts = covered.groupBy("cell").agg(F.count("*").alias("_n"))
+    dense = counts.where(F.col("_n") > cap).select("cell").withColumn(
+        "_dense", F.lit(True)
+    )
+    flagged = covered.join(F.broadcast(dense), "cell", "left")
+    keep = flagged.where(F.col("_dense").isNull()).drop("_dense")
+    split = (
+        flagged.where(F.col("_dense").isNotNull())
+        .drop("_dense")
+        .withColumnRenamed("cell", "_parent")
+    )
+    from .tiles import parent_cell_col
+
+    deep_level = level + DENSE_CELL_SPLIT_LEVELS
+    deep = _with_cover_cells(split, deep_level, pad_deg)
+    deep = deep.where(
+        parent_cell_col(F.col("cell"), deep_level, level) == F.col("_parent")
+    ).drop("_parent")
+    return keep.unionByName(deep)
+
+
 def detect_intersections(
     ways: DataFrame, config: EngineConfig, keep_way_ids: bool = False
 ) -> DataFrame:
@@ -110,6 +147,9 @@ def detect_intersections(
     QA crossing-edges check to attribute unsplit crossings to edges."""
     segs = _segments(ways)
     covered = _with_cover_cells(segs, INTERSECT_CELL_LEVEL, 0.0)
+    covered = _resplit_dense_cells(
+        covered, INTERSECT_CELL_LEVEL, config.intersect_cell_cap, 0.0
+    )
     a = covered.select(
         F.col("cell"),
         F.col("way_id").alias("way_a"),

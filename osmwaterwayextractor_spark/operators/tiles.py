@@ -61,6 +61,37 @@ def with_edge_cells(edges: DataFrame, config: EngineConfig) -> DataFrame:
     return out
 
 
+def edge_covering_col(lats_col: str, lons_col: str, level: int):
+    """S2-covering analog for a polyline edge, pure Catalyst (north_star:
+    "every node and edge endpoint is assigned an H3 cell AND an S2
+    covering"): the distinct set of level-``level`` cells overlapped by each
+    segment's bbox — a tight covering of the polyline, computed per row with
+    sequence/transform/flatten (NO shuffle, NO Python), exactly the cell set
+    the J5 candidate join uses (geometry_ops._with_cover_cells semantics)."""
+    w = repr(cell_width_deg(level))
+    base = f"cast({level} as bigint) * cast({1 << 52} as bigint)"
+    la, lo = lats_col, lons_col
+    seg = (
+        f"transform(slice({la}, 1, size({la})-1), (la1, i) -> "
+        f"flatten(transform("
+        f"  sequence(cast(floor((least({lo}[i], element_at({lo}, i+2)) + 180.0D) / {w}) as bigint),"
+        f"           cast(floor((greatest({lo}[i], element_at({lo}, i+2)) + 180.0D) / {w}) as bigint)),"
+        f"  xx -> transform("
+        f"    sequence(cast(floor((least(la1, element_at({la}, i+2)) + 90.0D) / {w}) as bigint),"
+        f"             cast(floor((greatest(la1, element_at({la}, i+2)) + 90.0D) / {w}) as bigint)),"
+        f"    yy -> {base} + shiftleft(xx, {int(X_SHIFT)}) + yy))))"
+    )
+    return F.expr(f"array_sort(array_distinct(flatten({seg})))")
+
+
+def with_edge_covering(edges: DataFrame, config: EngineConfig, res: int = 8) -> DataFrame:
+    """edges + ``covering``: sorted distinct cell ids at H3-calibrated
+    resolution ``res`` overlapped by the edge geometry."""
+    return edges.withColumn(
+        "covering", edge_covering_col("lats", "lons", H3_RES_TO_LEVEL[res])
+    )
+
+
 def channel_density_rollup(edges_with_cells: DataFrame, config: EngineConfig) -> DataFrame:
     """(res, cell, edge_count, total_length_m) — finest res aggregated once,
     coarser resolutions rolled up from it via parent cells (exact under the

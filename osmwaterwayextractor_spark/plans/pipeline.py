@@ -32,8 +32,13 @@ from ..operators.geometry_ops import (
     detect_intersections,
     insert_intersections,
 )
-from ..operators.tiles import channel_density_rollup, with_edge_cells, with_node_cells
-from ..sources.parse import parse_nodes, parse_ways
+from ..operators.tiles import (
+    channel_density_rollup,
+    with_edge_cells,
+    with_edge_covering,
+    with_node_cells,
+)
+from ..sources.parse import parse_nodes
 
 
 @dataclass
@@ -47,6 +52,7 @@ class WaterwayEngine:
     def __init__(self, config: Optional[EngineConfig] = None, checkpointer=None):
         self.config = config or EngineConfig()
         self.checkpointer = checkpointer
+        self._scratch: Optional[str] = None
 
     def _stage(self, name: str, df: DataFrame) -> DataFrame:
         import os
@@ -56,16 +62,45 @@ class WaterwayEngine:
         if self.checkpointer is not None:
             out = self.checkpointer.materialize(name, self.config, df)
         else:
-            # Eager localCheckpoint, not cache(): the pipeline's logical plan
-            # is deep, and every downstream action would re-analyze/optimize
-            # the whole accumulated tree on the driver (seconds per action —
-            # the dominant serial cost at high core counts). Checkpointing
-            # truncates lineage to a block scan while keeping data in
-            # executor storage.
-            out = df.localCheckpoint(eager=True)
+            out = self._ephemeral_stage(name, df)
         if os.environ.get("OSMWWE_STAGE_TIMING"):
             print(f"[stage] {name}: {time.time() - t0:.2f}s", flush=True)
         return out
+
+    def _ephemeral_stage(self, name: str, df: DataFrame) -> DataFrame:
+        """Materialize a stage boundary without the durable Checkpointer.
+
+        Plan-truncation is mandatory either way: the pipeline's logical plan
+        is deep, and every downstream action would re-analyze/optimize the
+        whole accumulated tree on the driver (seconds per action).
+
+        Default is a snappy-parquet round-trip in a scratch dir (tmpfs when
+        spark.local.dir points there): columnar, serialized, OFF the GC's
+        live set. ``localCheckpoint`` (OSMWWE_STAGE_MODE=localckpt) keeps
+        every stage's partitions as DESERIALIZED row objects in executor
+        storage — measured on the 100k-doc pipeline, the accumulated live
+        set inflates JVM GC to ~470 task-seconds per run and destroys
+        core-count scaling."""
+        import os
+        import uuid
+
+        mode = os.environ.get("OSMWWE_STAGE_MODE", "parquet")
+        if mode == "localckpt":
+            return df.localCheckpoint(eager=True)
+        spark = df.sparkSession
+        if self._scratch is None:
+            import atexit
+            import shutil
+
+            base = spark.conf.get("spark.local.dir", "/tmp")
+            self._scratch = os.path.join(
+                base.split(",")[0], f"osmwwe-stages-{uuid.uuid4().hex[:8]}"
+            )
+            # scratch may live on tmpfs (RAM): reclaim it at process exit
+            atexit.register(shutil.rmtree, self._scratch, ignore_errors=True)
+        path = os.path.join(self._scratch, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
 
     def _stages_concurrent(self, named: list[tuple[str, DataFrame]]) -> list[DataFrame]:
         """Materialize independent stages from concurrent driver threads so
@@ -85,20 +120,21 @@ class WaterwayEngine:
         spark = spark or docs.sparkSession
         cfg = self.config
 
-        # Parse outputs materialize once (assembly consumes ways twice and
-        # nodes once; recomputing the span explode+JSON parse per consumer
-        # was the dominant cost of the assembly join). The two parse scans
-        # are independent — they run concurrently.
+        # ONE span scan parses nodes AND ways (union schema); it materializes
+        # once and the assembly's three consumers (refs, tags, node coords)
+        # read it back as cheap checkpoint-scan filters.
         if cfg.local_first_assembly:
             from ..operators.assemble_local import assemble_local_first
 
             nodes_raw = self._stage("parsed", parse_nodes(docs, cfg))
             assembled = assemble_local_first(docs, nodes_raw, cfg)
         else:
-            nodes_raw, ways_raw = self._stages_concurrent(
-                [("parsed", parse_nodes(docs, cfg)), ("parsed_ways", parse_ways(docs, cfg))]
+            from ..sources.parse import nodes_from_parsed, parse_osm, ways_from_parsed
+
+            parsed = self._stage("parsed", parse_osm(docs, cfg))
+            assembled = assemble_geometries(
+                ways_from_parsed(parsed, cfg), nodes_from_parsed(parsed), cfg
             )
-            assembled = assemble_geometries(ways_raw, nodes_raw, cfg)
         # clean+simplify is a narrow Arrow pass — fused into the assembly job
         simplified = self._stage("simplified", clean_and_simplify(assembled, cfg))
 
@@ -125,7 +161,19 @@ class WaterwayEngine:
         )
 
         nodes_t = with_node_cells(nodes, cfg)
-        edges_t = with_edge_cells(edges, cfg)
+        edges_t = with_edge_covering(with_edge_cells(edges, cfg), cfg)
+        if self.checkpointer is not None:
+            # Iceberg-style final layout: nodes/edges land partitioned by
+            # their coarsest tile cell, resumable at the tile-partition level
+            # (north_rule; plans.checkpoint.materialize_partitioned skips
+            # already-written <cell>= directories on re-run)
+            pcol = f"cell_r{min(cfg.tile_resolutions)}"
+            nodes_t = self.checkpointer.materialize_partitioned(
+                "nodes_tiled", cfg, nodes_t, pcol
+            )
+            edges_t = self.checkpointer.materialize_partitioned(
+                "edges_tiled", cfg, edges_t, pcol
+            )
         # rollup stays lazy: one map-combinable groupBy over checkpointed
         # edges — a barrier here would serialize the tail for no reuse gain
         rollup = channel_density_rollup(edges_t, cfg)

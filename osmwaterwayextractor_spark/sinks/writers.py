@@ -49,6 +49,11 @@ def save_csv(nodes: DataFrame, edges: DataFrame, out_dir: str, compress: bool = 
         "coordinates",
         F.to_json(F.arrays_zip(F.col("lats").alias("lat"), F.col("lons").alias("lon"))),
     ).drop("lats", "lons")
+    # CSV can't carry nested types — JSON-encode any remaining array column
+    # (e.g. the per-edge cell covering)
+    for fld in flat.schema.fields:
+        if not fld.dataType.typeName() in ("string", "long", "integer", "double", "float", "boolean"):
+            flat = flat.withColumn(fld.name, F.to_json(F.col(fld.name)))
     flat.write.mode("overwrite").options(**opts).csv(os.path.join(out_dir, "edges.csv"))
 
 

@@ -1,0 +1,85 @@
+"""Scale-path behaviors (VERDICT r1 items 9-10): dense-cell re-split for the
+intersection self-join, and tile-partition-level resume of the final
+cell-partitioned nodes/edges layout."""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from osmwaterwayextractor_spark.config import EngineConfig
+from osmwaterwayextractor_spark.operators.geometry_ops import (
+    INTERSECT_CELL_LEVEL,
+    _resplit_dense_cells,
+    _segments,
+    _with_cover_cells,
+    detect_intersections,
+)
+
+WAYS_SCHEMA = "way_id long, lats array<double>, lons array<double>, tags map<string,string>"
+
+
+def _dense_ways(spark, n_parallel=300):
+    """n parallel segments + one crossing way, all inside ONE level-14 cell
+    (~0.011°): the pathological hot cell for the segment self-join."""
+    rows = []
+    for i in range(n_parallel):
+        lat = 50.002 + i * 1.0e-5
+        rows.append((i, [lat, lat], [13.0020, 13.0025], {"waterway": "river"}))
+    # vertical crossing way through all parallels
+    rows.append((10_000, [50.0015, 50.0060], [13.00225, 13.00225], {"waterway": "river"}))
+    return spark.createDataFrame(rows, WAYS_SCHEMA)
+
+
+def test_dense_cell_resplit_preserves_points_and_bounds_fanout(spark):
+    ways = _dense_ways(spark)
+    capped = EngineConfig(intersect_cell_cap=50, filter_waterway_types=False)
+    uncapped = EngineConfig(intersect_cell_cap=10**9, filter_waterway_types=False)
+
+    got = {(r["plat"], r["plon"]) for r in detect_intersections(ways, capped).collect()}
+    want = {(r["plat"], r["plon"]) for r in detect_intersections(ways, uncapped).collect()}
+    assert got == want and len(want) >= 200  # same points, crossing detected
+
+    # fan-out bound: the hot cell (301 segments) must be gone after re-split
+    covered = _with_cover_cells(_segments(ways), INTERSECT_CELL_LEVEL, 0.0)
+    before = covered.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
+    resplit = _resplit_dense_cells(covered, INTERSECT_CELL_LEVEL, 50, 0.0)
+    after = resplit.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
+    assert before >= 301
+    assert after < before / 2  # one re-split level cuts the hot cell ~8x
+
+
+def test_tiled_output_partition_resume(spark, tmp_path):
+    from osmwaterwayextractor_spark.plans.checkpoint import Checkpointer
+    from osmwaterwayextractor_spark.plans.pipeline import WaterwayEngine
+    from osmwaterwayextractor_spark.sources.docsgen import DocsGenParams, docs_dataframe
+
+    cfg = EngineConfig(filter_waterway_types=False)
+    docs = docs_dataframe(spark, 12, DocsGenParams(seed=11), partitions=4)
+    root = str(tmp_path / "ckpt")
+
+    ck = Checkpointer(spark, root)
+    g = WaterwayEngine(cfg, checkpointer=ck).build_graph(docs, spark)
+    want_edges = sorted(r["id"] for r in g.edges.collect())
+    pcol = f"cell_r{min(cfg.tile_resolutions)}"
+    assert pcol in g.edges.columns
+
+    # simulate a partial failure of the final tiled write: drop the done flag
+    # and two cell partitions — the re-run must recompute ONLY those
+    sdir = os.path.join(root, f"edges_tiled_{cfg.step_param_hash('edges_tiled')}")
+    os.remove(os.path.join(sdir, "_STAGE_DONE"))
+    parts = [d for d in os.listdir(os.path.join(sdir, "data")) if d.startswith(f"{pcol}=")]
+    assert len(parts) >= 3
+    for d in parts[:2]:
+        shutil.rmtree(os.path.join(sdir, "data", d))
+
+    ck2 = Checkpointer(spark, root)
+    g2 = WaterwayEngine(cfg, checkpointer=ck2).build_graph(docs, spark)
+    assert sorted(r["id"] for r in g2.edges.collect()) == want_edges
+    ev = [e for e in ck2.events if e["stage"] == "edges_tiled"][0]
+    assert ev["action"] == "computed"
+    assert ev["skipped_partitions"] == len(parts) - 2
+    # everything upstream resumed untouched
+    assert all(
+        e["action"] == "resumed" for e in ck2.events if e["stage"] not in ("edges_tiled",)
+    )
