@@ -60,7 +60,11 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
     timings: dict[str, float] = {}
 
     params = DocsGenParams(seed=42, mega_every=200, mega_refs=20000)
-    cfg = EngineConfig(filter_waterway_types=False)
+    # max_displacement_multiplier only arms the data-quality abort (snap map
+    # content is identical); at ≥200k synthetic docs one ε-chain legitimately
+    # exceeds the default 3× guardrail (measured: 21.9 m vs 18 m allowed), so
+    # the bench relaxes the abort to keep scale runs completing.
+    cfg = EngineConfig(filter_waterway_types=False, max_displacement_multiplier=10.0)
 
     # materialize the input once so generation isn't measured
     t0 = time.time()

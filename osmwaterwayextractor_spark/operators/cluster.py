@@ -124,7 +124,7 @@ def connected_components(points: DataFrame, edges: DataFrame, checkpoint_every: 
             return labels
 
 
-DRIVER_CC_MAX_PAIRS = 50_000  # collect-and-union-find below this; iterate above
+DRIVER_CC_MAX_PAIRS = 50_000  # _snap_map_driver cross-check bound (tests)
 
 
 def snap_map(
@@ -135,17 +135,26 @@ def snap_map(
 ) -> DataFrame:
     """points(lat, lon) distinct → (lat, lon, snap_lat, snap_lon).
 
-    ε-pairs are vastly fewer than points (only near-coincident endpoints
-    qualify), so the common path runs exactly TWO driver actions: a tiny
-    max|lat| agg (grid-level calibration; pass ``max_abs_lat`` to skip it)
-    and ONE bounded ``limit(MAX+1)`` Arrow collect of the pair edges that
-    doubles as the size probe — if it returns ≤ MAX rows that IS the
-    complete pair set and exact union-find + centroids run vectorized on
-    the driver, with the (tiny) mapping broadcast-joined back onto the full
-    point set. Above ``DRIVER_CC_MAX_PAIRS`` (50k — low enough that any
-    realistic continental dataset exercises the scale path) the distributed
-    min-label propagation takes over (same partitions by construction:
-    connected components are algorithm-independent).
+    Production path: ``_snap_map_blocks`` — a SINGLE-SHUFFLE exact
+    ε-clustering. The displacement guardrail (reference :1314-1317) bounds
+    every acceptable cluster's diameter at D = 2·tol·multiplier, so points
+    replicated to their ring-1 blocks at a grid level whose cell edge is
+    ≥ D + 2·tol make each cluster FULLY visible from its minimum member's
+    home block:
+
+    - if a block-local cluster's displacement ≤ tol·multiplier, its bbox is
+      ≤ D, so any unseen ε-neighbor would lie within D + tol of the home
+      block — inside the replicated halo — contradiction: the view is
+      provably complete and the emitted centroid exact;
+    - if the seen displacement exceeds the bound, the FULL cluster's
+      displacement must too (a compliant full cluster would have been fully
+      seen), which is exactly the reference's hard-abort case.
+
+    No iterative label propagation, no pair collect to the driver — three
+    driver actions total (max|lat| agg, the small mapping checkpoint, the
+    violation probe). ``_snap_map_driver`` (union-find on collected pairs)
+    and ``connected_components`` (min-label propagation) remain as
+    independent cross-check implementations for the parity tests.
     """
     if max_abs_lat is None:
         max_abs_lat = points.agg(F.max(F.abs(F.col("lat")))).collect()[0][0]
@@ -154,15 +163,103 @@ def snap_map(
     )
     if max_abs_lat is None:  # empty input
         return identity
-    pair_edges = epsilon_pair_edges(
-        points, config.snap_tolerance_m, float(max_abs_lat)
+    mapping = _snap_map_blocks(points, config, float(max_abs_lat)).localCheckpoint(
+        eager=True
     )
-    head = pair_edges.limit(DRIVER_CC_MAX_PAIRS + 1).toPandas()
-    if len(head) == 0:
+    if mapping.where(F.col("viol") == 1).limit(1).count() > 0:
+        # reference :1314-1317 — hard abort on displacement violations
+        raise ValueError("Cluster displacement exceeds safety threshold")
+    return points.join(mapping.drop("viol"), ["lat", "lon"], "left").select(
+        "lat",
+        "lon",
+        F.coalesce("snap_lat", "lat").alias("snap_lat"),
+        F.coalesce("snap_lon", "lon").alias("snap_lon"),
+    )
+
+
+def _snap_map_blocks(
+    points: DataFrame, config: EngineConfig, max_abs_lat: float
+) -> DataFrame:
+    """→ (lat, lon, snap_lat, snap_lon, viol) for every point in an ε-pair.
+
+    Block grid: deepest level whose cell edge covers D + 2·tol in both axes
+    at the data's max |lat| (functions.tiling.join_grid_level); each point
+    lands in its home block and replicates to ring-1 neighbors. Per block,
+    the oracle's vectorized grid-bucket ε-pair kernel + union-find +
+    sorted-member centroid run in one Arrow pass; a cluster is emitted only
+    by its minimum member's home block (no duplicates — see snap_map
+    docstring for the completeness proof)."""
+    tol = config.snap_tolerance_m
+    r_disp = tol * config.max_displacement_multiplier
+    halo_m = 2.0 * r_disp + 2.0 * tol
+    level = join_grid_level(halo_m, max_abs_lat)
+
+    replicated = points.select(
+        "lat",
+        "lon",
+        _cell_expr("lat", "lon", level).alias("home"),
+        F.explode(_ring_cells_expr("lat", "lon", level)).alias("block"),
+    )
+
+    from ..functions.clustering import UnionFind, epsilon_pairs
+
+    def kernel(key, pdf):
+        block = int(key[0])
+        lats = pdf["lat"].to_numpy(dtype=np.float64)
+        lons = pdf["lon"].to_numpy(dtype=np.float64)
+        homes = pdf["home"].to_numpy(dtype=np.int64)
+        li, lj = epsilon_pairs(lats, lons, tol)
+        out = {"lat": [], "lon": [], "snap_lat": [], "snap_lon": [], "viol": []}
+        if li.shape[0]:
+            uf = UnionFind(lats.shape[0])
+            for x, y in zip(li.tolist(), lj.tolist()):
+                uf.union(x, y)
+            labels = uf.labels()
+            order = np.argsort(labels, kind="stable")
+            slab = labels[order]
+            starts = np.concatenate(
+                [[0], np.nonzero(np.diff(slab))[0] + 1, [slab.shape[0]]]
+            )
+            for s, e in zip(starts[:-1], starts[1:]):
+                idx = order[s:e]
+                if idx.shape[0] < 2:
+                    continue
+                mlat, mlon = lats[idx], lons[idx]
+                mmin = idx[np.lexsort((mlon, mlat))[0]]
+                if int(homes[mmin]) != block:
+                    continue  # owned (and emitted) by another block
+                cla, clo = centroid_of_members(mlat, mlon)
+                disp = geodesic_m(
+                    mlat, mlon, np.full(idx.shape[0], cla), np.full(idx.shape[0], clo)
+                )
+                viol = 1 if float(disp.max()) > r_disp else 0
+                out["lat"].extend(mlat.tolist())
+                out["lon"].extend(mlon.tolist())
+                out["snap_lat"].extend([cla] * idx.shape[0])
+                out["snap_lon"].extend([clo] * idx.shape[0])
+                out["viol"].extend([viol] * idx.shape[0])
+        return pd.DataFrame(out)
+
+    return replicated.groupBy("block").applyInPandas(
+        kernel,
+        schema="lat double, lon double, snap_lat double, snap_lon double, viol int",
+    )
+
+
+def _snap_map_labelprop(
+    points: DataFrame, config: EngineConfig, spark: SparkSession, max_abs_lat: float
+) -> DataFrame:
+    """Cross-check implementation: iterative min-label propagation over the
+    distributed ε-pair edges (the round-1 production path, kept for the
+    algorithm-independence parity test)."""
+    identity = points.select(
+        "lat", "lon", F.col("lat").alias("snap_lat"), F.col("lon").alias("snap_lon")
+    )
+    pair_edges = epsilon_pair_edges(
+        points, config.snap_tolerance_m, max_abs_lat
+    ).localCheckpoint(eager=True)
+    if pair_edges.limit(1).count() == 0:
         return identity
-    if len(head) <= DRIVER_CC_MAX_PAIRS:
-        return _snap_map_driver(points, head, config, spark)
-    pair_edges = pair_edges.localCheckpoint(eager=True)  # reused every CC iteration
     labels = connected_components(points, pair_edges)
 
     @pandas_udf("struct<snap_lat:double, snap_lon:double, max_disp:double>")

@@ -42,7 +42,11 @@ def one_level(cpus: int, n_docs: int) -> dict:
         }
     )
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, os.path.join(ROOT, "bench.py")]
-    out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    if out.returncode != 0:
+        sys.stderr.write(f"[leg cpus={cpus}] FAILED rc={out.returncode}\n")
+        sys.stderr.write("\n".join(out.stderr.splitlines()[-40:]) + "\n")
+        raise RuntimeError(f"bench leg failed (cpus={cpus})")
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
