@@ -71,8 +71,12 @@ class EngineConfig:
     _STEP_PARAMS = {
         # parse_osm rounds coordinates only; the waterway-type filter applies
         # AFTER the checkpoint (ways_from_parsed), so changing the type list
-        # correctly does not invalidate the parsed cache
-        "parsed": ("coordinate_precision",),
+        # correctly does not invalidate the parsed cache.
+        # local_first_assembly IS included: the two branches checkpoint
+        # different schemas under this stage (parse_osm union schema vs
+        # parse_nodes node-only), so toggling it must not reuse the other
+        # mode's checkpoint
+        "parsed": ("coordinate_precision", "local_first_assembly"),
         "assembled": (
             "waterway_types",
             "filter_waterway_types",

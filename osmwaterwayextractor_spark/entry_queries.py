@@ -797,7 +797,9 @@ def q_simhash_pairs(spark, sf_dir):
 def q_lsh_ann(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 20)
-    return similarity.lsh_cosine_topk(q, emb, k=3).select(
+    # dim is a testdata contract (TESTDATA.md embeddings: array<float> of 64)
+    # — passed statically so plan construction runs no driver action
+    return similarity.lsh_cosine_topk(q, emb, k=3, dim=64).select(
         "query_id", "neighbor_id", F.round("cosine", 5).alias("cosine"), "rank"
     )
 
@@ -823,6 +825,13 @@ def q_media_features(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # registry
 
+# Exact all-pairs/cross-join baselines kept ONLY as correctness twins of the
+# bucketed LSH scale paths (lsh_ann, embedding_neardup_pairs): quadratic in
+# the corpus, never benchmarked and never run at scale. bench.py excludes by
+# this tag.
+ORACLE_ONLY_QUERIES = frozenset({"ann_top1", "neardup_embeddings"})
+
+
 def queries():
     return {
         "filter_project": q_filter_project,
@@ -847,8 +856,8 @@ def queries():
         "token_count": q_token_count,
         "quality": q_quality,
         "langid": q_langid,
-        "ann_top1": q_ann_top1,
-        "neardup_embeddings": q_neardup_embeddings,
+        "ann_top1": q_ann_top1,  # ORACLE_ONLY_QUERIES: exact twin of lsh_ann
+        "neardup_embeddings": q_neardup_embeddings,  # ORACLE_ONLY_QUERIES
         "approx_distance": q_approx_distance,
         # rows-only (non-SQL-expressible)
         "waterway_edges": q_waterway_edges,

@@ -38,11 +38,21 @@ from ..functions.tiling import LEVEL_SHIFT, X_SHIFT, cell_width_deg, join_grid_l
 
 
 def _cell_expr(lat_col: str, lon_col: str, level: int):
+    """Join-grid cell id with the SAME lon-wrap / lat-clip normalization as
+    ``_ring_cells_expr`` — a point exactly at lon=±180 or lat=±90 must land
+    in a cell that is a member of its own ring-1 block set, otherwise its
+    cluster is owned by no block and silently never emitted."""
     w = cell_width_deg(level)
+    nx = 2 << level
+    ny = 1 << level
+    x = F.floor((F.col(lon_col) + 180.0) / w).cast("long")
+    y = F.floor((F.col(lat_col) + 90.0) / w).cast("long")
+    xx = ((x % nx) + nx) % nx
+    yy = F.greatest(F.lit(0).cast("long"), F.least(F.lit(ny - 1).cast("long"), y))
     return (
         F.lit(level).cast("long") * F.lit(1 << 52).cast("long")
-        + F.shiftleft(F.floor((F.col(lon_col) + 180.0) / w).cast("long"), int(X_SHIFT))
-        + F.floor((F.col(lat_col) + 90.0) / w).cast("long")
+        + F.shiftleft(xx, int(X_SHIFT))
+        + yy
     )
 
 
@@ -120,8 +130,14 @@ def connected_components(points: DataFrame, edges: DataFrame, checkpoint_every: 
             .count()
         )
         labels = new_labels
-        if changed == 0 or it > 64:
+        if changed == 0:
             return labels
+        if it > 64:
+            # a silent wrong answer from a parity oracle is worse than a
+            # crash (reference hard-abort analog :1314-1317)
+            raise RuntimeError(
+                "connected_components did not converge within 64 iterations"
+            )
 
 
 DRIVER_CC_MAX_PAIRS = 50_000  # _snap_map_driver cross-check bound (tests)

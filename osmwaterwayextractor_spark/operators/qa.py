@@ -111,8 +111,14 @@ def qa_threshold_checks(
     n_nodes = nodes.count()
     n_edges = edges.count()
 
+    # band is (tol, radius]: anything with a nearest foreign vertex within
+    # the snap tolerance either already ε-merged or legitimately sits next to
+    # an interior vertex (interior vertices are not in the snap domain) — it
+    # is not a "should this have merged?" miss and must not trip the gate
     near_miss = (
-        knn_snap_dangling(nodes, edges, config, radius_m=radius).count()
+        knn_snap_dangling(nodes, edges, config, radius_m=radius)
+        .where(F.col("dist_m") > config.snap_tolerance_m)
+        .count()
         if n_nodes
         else 0
     )

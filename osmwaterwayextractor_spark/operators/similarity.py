@@ -60,6 +60,24 @@ def cosine_topk_bruteforce(
     )
 
 
+def embedding_dim(df: DataFrame, vec_col: str = "embedding") -> int:
+    """Embedding dimensionality — a ONE-TIME driver probe for callers that
+    don't know it statically. Deliberately separate from the LSH operators:
+    plan construction there must stay free of driver actions (a hidden
+    ``.first()`` per operator call serializes pipelines that build many
+    plans). Call once, cache the result, pass ``dim=`` explicitly."""
+    return len(df.select(vec_col).limit(1).collect()[0][0])
+
+
+def _require_dim(dim: int | None) -> int:
+    if dim is None:
+        raise TypeError(
+            "dim is required (plan construction runs no driver actions); "
+            "probe once with similarity.embedding_dim(df) and pass dim="
+        )
+    return int(dim)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))
@@ -103,8 +121,7 @@ def lsh_cosine_topk(
     """Approximate top-k: candidates collide with the query in ≥1 of
     ``n_tables`` independent hyperplane tables (recall tunable via
     tables×planes; corpus shuffles once on (table, bucket))."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+    dim = _require_dim(dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -136,13 +153,13 @@ def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 8,
+    dim: int | None = None,
     seed: int = 11,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """→ (id_a, id_b, cosine ≥ threshold) via bucket-join candidates."""
-    dim = len(corpus.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
+    planes = _hyperplanes(_require_dim(dim), n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

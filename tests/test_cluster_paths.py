@@ -68,6 +68,43 @@ def test_snap_map_displacement_guardrail_all_paths(spark):
         cl._snap_map_labelprop(df, cfg, spark, maxlat).collect()
 
 
+def test_connected_components_raises_on_iteration_cap(spark):
+    """min-label propagation over a chain of length > 64 cannot converge in
+    64 rounds — it must RAISE, never return non-converged labels silently
+    (VERDICT r2 what's-wrong 2)."""
+    n = 80
+    pts = [(50.0 + i * 1.0e-5, 13.0) for i in range(n)]
+    points = spark.createDataFrame(pts, "lat double, lon double")
+    edges = spark.createDataFrame(
+        [(pts[i][0], pts[i][1], pts[i + 1][0], pts[i + 1][1]) for i in range(n - 1)]
+        + [(pts[i + 1][0], pts[i + 1][1], pts[i][0], pts[i][1]) for i in range(n - 1)],
+        "lat double, lon double, nlat double, nlon double",
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        cl.connected_components(points, edges)
+
+
+def test_snap_map_at_domain_boundaries(spark):
+    """Points exactly at lon=±180 / lat=±90 must still merge with their
+    ε-neighbors: home cell uses the same wrap/clip normalization as the
+    replicated block set (ADVICE r2)."""
+    cfg = EngineConfig()
+    pts = [
+        (0.0, 180.0), (0.0, 179.99999),       # ~1.1 m apart across the seam column
+        (89.999999, 13.0), (89.999985, 13.0),  # ~1.6 m apart at the pole clip
+        (50.0, -180.0), (50.00001, -180.0),    # ~1.1 m apart on the west seam
+    ]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    rows = cl.snap_map(df, cfg, spark).collect()
+    by_centroid = {}
+    for r in rows:
+        by_centroid.setdefault((r["snap_lat"], r["snap_lon"]), []).append(
+            (r["lat"], r["lon"])
+        )
+    sizes = sorted(len(v) for v in by_centroid.values())
+    assert sizes == [2, 2, 2], sizes
+
+
 def test_blocks_complete_across_block_boundaries(spark):
     """Clusters straddling a block boundary must still be seen whole: plant
     satellite pairs exactly around multiples of the block cell width."""

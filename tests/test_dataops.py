@@ -87,7 +87,11 @@ def test_cosine_topk_and_lsh_recall(spark, emb):
         got = [r["neighbor_id"] for r in exact if r["query_id"] == q["vec_id"]]
         assert got == want, q["vec_id"]
     # LSH path returns a subset ranking with decent top-1 hit rate
-    approx = lsh_cosine_topk(queries, emb, k=3, n_planes=4, n_tables=8).collect()
+    from osmwaterwayextractor_spark.operators.similarity import embedding_dim
+
+    approx = lsh_cosine_topk(
+        queries, emb, k=3, n_planes=4, n_tables=8, dim=embedding_dim(emb)
+    ).collect()
     exact_top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rank"] == 1}
     approx_top1 = {r["query_id"]: r["neighbor_id"] for r in approx if r["rank"] == 1}
     hits = sum(1 for qid, nid in exact_top1.items() if approx_top1.get(qid) == nid)

