@@ -45,7 +45,13 @@ def build_session(cpus: int):
     )
 
 
-def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
+def run_bench(spark, sf_dir: str, n_docs: int, reps: int) -> dict:
+    """Every measured section runs ``reps`` times as interleaved full passes
+    and reports the BEST time per section (all runs kept in ``runs``): this
+    host's throughput swings >2× over minutes, so single-run numbers are
+    noise (BENCH r2's 10× agg_stats outlier on byte-identical code). Best
+    per section is the standard jitter-robust estimator the scaling script
+    already uses."""
     from pyspark.sql import functions as F
 
     from osmwaterwayextractor_spark import entry_queries as EQ
@@ -57,36 +63,30 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
     from osmwaterwayextractor_spark.plans.pipeline import WaterwayEngine
     from osmwaterwayextractor_spark.sources.docsgen import DocsGenParams, docs_dataframe
 
-    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+
+    def record(name: str, secs: float) -> None:
+        runs.setdefault(name, []).append(secs)
 
     params = DocsGenParams(seed=42, mega_every=200, mega_refs=20000)
     # max_displacement_multiplier only arms the data-quality abort (snap map
     # content is identical); at ≥200k synthetic docs one ε-chain legitimately
-    # exceeds the default 3× guardrail (measured: 21.9 m vs 18 m allowed), so
-    # the bench relaxes the abort to keep scale runs completing.
-    cfg = EngineConfig(filter_waterway_types=False, max_displacement_multiplier=10.0)
+    # exceeds the default 3× guardrail (measured: 21.9 m vs 18 m allowed).
+    # The relaxation applies ONLY to those scale legs — smaller bench points
+    # keep the default config so published numbers measure the default
+    # clustering configuration (BENCH/BASELINE.md notes the delta).
+    mult = 10.0 if n_docs >= 200_000 else 3.0
+    cfg = EngineConfig(filter_waterway_types=False, max_displacement_multiplier=mult)
 
     # materialize the input once so generation isn't measured
     t0 = time.time()
     docs = docs_dataframe(spark, n_docs, params).cache()
     n_spans = docs.select(F.sum(F.size("spans"))).collect()[0][0]
-    timings["docs_generate"] = time.time() - t0
-
-    t0 = time.time()
-    g = WaterwayEngine(cfg).build_graph(docs, spark)
-    edges = g.edges.cache()
-    n_edges = edges.count()
-    pipeline_sec = time.time() - t0
-    timings["waterway_pipeline"] = pipeline_sec
-
-    t0 = time.time()
-    rollup = channel_density_rollup(with_edge_cells(edges, cfg), cfg)
-    rollup.count()
-    tile_sec = time.time() - t0
-    timings["tile_assign_rollup"] = tile_sec
+    record("docs_generate", time.time() - t0)
 
     # relational / dedup / ANN headline queries on the sf tables
-    # (SPARK_GRAFT_BENCH_MODE=pipeline skips them — used by scaling runs)
+    # (SPARK_GRAFT_BENCH_MODE=pipeline skips them — used by scaling runs).
+    # ORACLE_ONLY_QUERIES (exact all-pairs baselines) are never benchmarked.
     query_names = [] if os.environ.get("SPARK_GRAFT_BENCH_MODE") == "pipeline" else [
         "agg_stats",
         "salted_join",
@@ -99,21 +99,40 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
         "lsh_ann",
         "minhash_pairs",
     ]
-    for name in query_names:
-        q = EQ.queries()[name]
+    assert not set(query_names) & set(EQ.ORACLE_ONLY_QUERIES)
+
+    n_edges = 0
+    for _ in range(max(1, reps)):
         t0 = time.time()
-        df = q(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = time.time() - t0
+        g = WaterwayEngine(cfg).build_graph(docs, spark)
+        edges = g.edges.cache()
+        n_edges = edges.count()
+        record("waterway_pipeline", time.time() - t0)
+
+        t0 = time.time()
+        rollup = channel_density_rollup(with_edge_cells(edges, cfg), cfg)
+        rollup.count()
+        record("tile_assign_rollup", time.time() - t0)
+        edges.unpersist()
+
+        for name in query_names:
+            q = EQ.queries()[name]
+            t0 = time.time()
+            df = q(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            record(name, time.time() - t0)
 
     docs.unpersist()
+    best = {k: min(v) for k, v in runs.items()}
+    pipeline_sec = best["waterway_pipeline"]
     return {
         "n_docs": n_docs,
         "n_spans": int(n_spans),
         "n_edges": int(n_edges),
         "edges_per_sec": n_edges / pipeline_sec if pipeline_sec > 0 else 0.0,
-        "tile_assign_sec": tile_sec,
-        "timings": timings,
+        "tile_assign_sec": best["tile_assign_rollup"],
+        "timings": best,
+        "runs": runs,
     }
 
 
@@ -124,9 +143,10 @@ def main() -> None:
     sf = float(m.group(1)) if m else 0.1
     n_docs = int(os.environ.get("SPARK_GRAFT_DOCS", str(max(int(40000 * sf), 50))))
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     spark = build_session(cpus)
     try:
-        res = run_bench(spark, sf_dir, n_docs)
+        res = run_bench(spark, sf_dir, n_docs, reps)
     finally:
         spark.stop()
 
@@ -143,6 +163,8 @@ def main() -> None:
         "n_edges": res["n_edges"],
         "edges_per_sec": round(res["edges_per_sec"], 2),
         "tile_assign_sec": round(res["tile_assign_sec"], 3),
+        "reps": reps,
+        "runs": {k: [round(x, 3) for x in v] for k, v in res["runs"].items()},
     }
     print(json.dumps(out))
 

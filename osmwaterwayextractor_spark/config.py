@@ -55,6 +55,10 @@ class EngineConfig:
     salt_buckets: int = 8             # explicit salting for hot node ids
     arrow_batch_size: int = 2048      # fat geometry rows per Arrow batch
 
+    # QA sampling (reference config.yaml:145): edges re-measured with the
+    # full-precision geodesic kernel post-build; 0 disables
+    distance_validation_samples: int = 1000
+
     # QA thresholds (reference config.yaml:152-162 + Config :140-143; the
     # reference declares them but never evaluates them — this engine enforces
     # them post-build, operators.qa.enforce_qa_thresholds)
@@ -194,6 +198,9 @@ class EngineConfig:
                 kw[k] = clus[k]
         if "hash_length" in ids:
             kw["hash_length"] = ids["hash_length"]
+        qa = raw.get("qa", {})
+        if "distance_validation_samples" in qa:
+            kw["distance_validation_samples"] = qa["distance_validation_samples"]
         thr = raw.get("qa", {}).get("qa_thresholds", {})
         for k in (
             "max_unsnapped_near_miss_pct",

@@ -7,6 +7,7 @@ report-only deviation). Width-parse rates and counts are exact.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -40,6 +41,7 @@ def qa_metrics(nodes: DataFrame, edges: DataFrame, config: EngineConfig) -> dict
             "coordinate_precision": config.coordinate_precision,
         }
     )
+    d.update(distance_validation(edges, config))
     return d
 
 
@@ -76,6 +78,56 @@ def displacement_metrics(snap: DataFrame, config: EngineConfig) -> dict:
     d = agg.asDict()
     d["total_snap_points"] = snap.count()
     return d
+
+
+def distance_validation(edges: DataFrame, config: EngineConfig) -> dict:
+    """Sampled length re-validation (reference config.yaml:145
+    ``distance_validation_samples: 1000``; the reference declares the knob
+    but never implements the loop — this engine does, documented addition).
+
+    Takes a DETERMINISTIC pseudo-random sample of
+    ``config.distance_validation_samples`` edges (top-N by xxhash64(id) — an
+    O(n)-per-partition TakeOrdered, no full sort), recomputes each polyline
+    length from its stored coordinates with the shared full-precision
+    geodesic kernel, and reports the error of the stored ``length_m``."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.geodesy import polyline_length_m
+
+    n = int(config.distance_validation_samples)
+    if n <= 0:
+        return {"distance_validation_samples": 0}
+    sample = edges.select("lats", "lons", "length_m").orderBy(
+        F.xxhash64("id")
+    ).limit(n)
+
+    @pandas_udf("double")
+    def _recompute(lats: pd.Series, lons: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(
+            [
+                polyline_length_m(
+                    np.asarray(la, dtype=np.float64), np.asarray(lo, dtype=np.float64)
+                )
+                for la, lo in zip(lats, lons)
+            ]
+        )
+
+    agg = (
+        sample.withColumn("err_m", F.abs(F.col("length_m") - _recompute("lats", "lons")))
+        .agg(
+            F.count("*").alias("n"),
+            F.max("err_m").alias("max_error_m"),
+            F.mean("err_m").alias("mean_error_m"),
+        )
+        .collect()[0]
+    )
+    return {
+        "distance_validation_samples": int(agg["n"] or 0),
+        "distance_validation_max_error_m": float(agg["max_error_m"] or 0.0),
+        "distance_validation_mean_error_m": float(agg["mean_error_m"] or 0.0),
+    }
 
 
 class QAThresholdError(ValueError):

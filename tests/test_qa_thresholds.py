@@ -136,3 +136,31 @@ def test_checks_dict_shape(spark):
         "near_miss_radius_m",
     ):
         assert k in checks
+
+
+def test_distance_validation_sampling(spark):
+    """QA re-measures a deterministic edge sample with the full-precision
+    geodesic kernel (reference config.yaml:145 declares the knob; the
+    engine implements it)."""
+    import numpy as np
+
+    from osmwaterwayextractor_spark.functions.geodesy import polyline_length_m
+    from osmwaterwayextractor_spark.operators.qa import distance_validation
+
+    lats = [50.0, 50.1]
+    lons = [13.0, 13.0]
+    true_len = polyline_length_m(np.array(lats), np.array(lons))
+    edges = spark.createDataFrame(
+        [
+            _edge("ok", "a", "b", lats, lons, 1)[:6] + (true_len, "", None),
+            _edge("bad", "c", "d", lats, lons, 2)[:6] + (true_len + 7.5, "", None),
+        ],
+        EDGE_SCHEMA,
+    )
+    d = distance_validation(edges, CFG)
+    assert d["distance_validation_samples"] == 2
+    assert abs(d["distance_validation_max_error_m"] - 7.5) < 1e-6
+    assert abs(d["distance_validation_mean_error_m"] - 3.75) < 1e-6
+    # 0 disables sampling entirely
+    off = distance_validation(edges, EngineConfig(distance_validation_samples=0))
+    assert off == {"distance_validation_samples": 0}

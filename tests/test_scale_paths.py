@@ -70,6 +70,12 @@ def test_tiled_output_partition_resume(spark, tmp_path):
     os.remove(os.path.join(sdir, "_STAGE_DONE"))
     parts = [d for d in os.listdir(os.path.join(sdir, "data")) if d.startswith(f"{pcol}=")]
     assert len(parts) >= 3
+    # Iceberg-style layout pointer (README "Iceberg deviation"):
+    # cell_r7=<val>/part-*.parquet
+    assert any(
+        n.startswith("part-") and n.endswith(".parquet")
+        for n in os.listdir(os.path.join(sdir, "data", parts[0]))
+    )
     for d in parts[:2]:
         shutil.rmtree(os.path.join(sdir, "data", d))
 

