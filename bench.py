@@ -56,10 +56,7 @@ def run_bench(spark, sf_dir: str, n_docs: int, reps: int) -> dict:
 
     from osmwaterwayextractor_spark import entry_queries as EQ
     from osmwaterwayextractor_spark.config import EngineConfig
-    from osmwaterwayextractor_spark.operators.tiles import (
-        channel_density_rollup,
-        with_edge_cells,
-    )
+    from osmwaterwayextractor_spark.operators.tiles import channel_density_rollup
     from osmwaterwayextractor_spark.plans.pipeline import WaterwayEngine
     from osmwaterwayextractor_spark.sources.docsgen import DocsGenParams, docs_dataframe
 
@@ -105,15 +102,19 @@ def run_bench(spark, sf_dir: str, n_docs: int, reps: int) -> dict:
     for _ in range(max(1, reps)):
         t0 = time.time()
         g = WaterwayEngine(cfg).build_graph(docs, spark)
-        edges = g.edges.cache()
-        n_edges = edges.count()
+        # full-column materialization of the final edges table (cells +
+        # covering) the way production lands it — noop sink computes every
+        # column without the executor-storage serialization of .cache(),
+        # which defeats column pruning and dominated the tail at low core
+        # counts; the count itself then prunes to a metadata-cheap scan
+        g.edges.write.format("noop").mode("overwrite").save()
+        n_edges = g.edges.count()
         record("waterway_pipeline", time.time() - t0)
 
         t0 = time.time()
-        rollup = channel_density_rollup(with_edge_cells(edges, cfg), cfg)
+        rollup = channel_density_rollup(g.edges, cfg)
         rollup.count()
         record("tile_assign_rollup", time.time() - t0)
-        edges.unpersist()
 
         for name in query_names:
             q = EQ.queries()[name]

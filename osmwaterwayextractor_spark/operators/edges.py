@@ -141,13 +141,43 @@ def build_edges(ways: DataFrame, snap: DataFrame, config: EngineConfig) -> DataF
             "pos",
             F.coalesce("snap_lat", "lat").alias("mlat"),
             F.coalesce("snap_lon", "lon").alias("mlon"),
+            (
+                F.col("snap_lat").isNotNull()
+                & (F.col("snap_lat") == F.col("lat"))
+                & (F.col("snap_lon") == F.col("lon"))
+            ).alias("unmoved"),
         )
     )
-    # cut-set membership of the MAPPED vertex (reference :2554-2559 quirk)
-    keyset = snap.select(F.col("lat").alias("mlat"), F.col("lon").alias("mlon")).distinct()
-    flagged = mapped.join(
-        keyset.withColumn("is_cut", F.lit(True)), ["mlat", "mlon"], "left"
-    ).select("way_id", "pos", "mlat", "mlon", F.coalesce("is_cut", F.lit(False)).alias("is_cut"))
+    # cut-set membership of the MAPPED vertex in the ORIGINAL domain-point
+    # set D (reference :2554-2559 quirk). Exactly equivalent split — no
+    # full-D distinct, no vertex-scale sort-merge join:
+    # - an UNMOVED domain vertex maps to itself ∈ D (flag set inline in the
+    #   snap join above);
+    # - any other vertex's mapped coord is in D only if it is a MOVED
+    #   centroid coinciding with some domain coordinate (a non-domain vertex
+    #   maps to itself, and itself ∈ D would contradict the left-join miss).
+    #   That coincidence set is computed as D ⋉ broadcast(moved centroids) —
+    #   bounded by the ε-cluster count, broadcast-safe — and joined back to
+    #   the vertices broadcast-wise.
+    moved_targets = (
+        snap.where((F.col("lat") != F.col("snap_lat")) | (F.col("lon") != F.col("snap_lon")))
+        .select(F.col("snap_lat").alias("lat"), F.col("snap_lon").alias("lon"))
+        .distinct()
+    )
+    cut_centroids = (
+        snap.select("lat", "lon")
+        .join(F.broadcast(moved_targets), ["lat", "lon"], "leftsemi")
+        .select(F.col("lat").alias("mlat"), F.col("lon").alias("mlon"))
+        .distinct()
+        .withColumn("is_ct", F.lit(True))
+    )
+    flagged = mapped.join(F.broadcast(cut_centroids), ["mlat", "mlon"], "left").select(
+        "way_id",
+        "pos",
+        "mlat",
+        "mlon",
+        (F.col("unmoved") | F.coalesce("is_ct", F.lit(False))).alias("is_cut"),
+    )
 
     regrouped = (
         flagged.groupBy("way_id")

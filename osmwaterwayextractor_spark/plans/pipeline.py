@@ -41,6 +41,36 @@ from ..operators.tiles import (
 from ..sources.parse import parse_nodes
 
 
+def _parquet_max_abs(path: Optional[str], col: str) -> Optional[float]:
+    """max(|col|) from parquet row-group footer statistics — a driver-side
+    O(files) metadata read that replaces a full Spark aggregation job when a
+    stage just materialized to parquet. Returns None (caller falls back to
+    the agg) when no path/stats are available."""
+    if not path:
+        return None
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    mx: Optional[float] = None
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    if not files:
+        return None
+    for f in files:
+        md = pq.read_metadata(f)
+        if col not in md.schema.names:
+            return None
+        idx = md.schema.names.index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            m = max(abs(float(st.min)), abs(float(st.max)))
+            mx = m if mx is None or m > mx else mx
+    return mx
+
+
 @dataclass
 class GraphResult:
     nodes: DataFrame
@@ -61,11 +91,16 @@ class WaterwayEngine:
         t0 = time.time()
         if self.checkpointer is not None:
             out = self.checkpointer.materialize(name, self.config, df)
+            self._last_stage_path = os.path.join(
+                self.checkpointer._stage_dir(name, self.config), "data"
+            )
         else:
             out = self._ephemeral_stage(name, df)
         if os.environ.get("OSMWWE_STAGE_TIMING"):
             print(f"[stage] {name}: {time.time() - t0:.2f}s", flush=True)
         return out
+
+    _last_stage_path: Optional[str] = None  # parquet dir of the last _stage
 
     def _ephemeral_stage(self, name: str, df: DataFrame) -> DataFrame:
         """Materialize a stage boundary without the durable Checkpointer.
@@ -86,6 +121,7 @@ class WaterwayEngine:
 
         mode = os.environ.get("OSMWWE_STAGE_MODE", "parquet")
         if mode == "localckpt":
+            self._last_stage_path = None  # no footer stats available
             return df.localCheckpoint(eager=True)
         spark = df.sparkSession
         if self._scratch is None:
@@ -100,6 +136,7 @@ class WaterwayEngine:
             atexit.register(shutil.rmtree, self._scratch, ignore_errors=True)
         path = os.path.join(self._scratch, name)
         df.write.mode("overwrite").parquet(path)
+        self._last_stage_path = path
         return spark.read.parquet(path)
 
     def _stages_concurrent(self, named: list[tuple[str, DataFrame]]) -> list[DataFrame]:
@@ -112,8 +149,20 @@ class WaterwayEngine:
             return [self._stage(n, df) for n, df in named]
         from concurrent.futures import ThreadPoolExecutor
 
+        def run(n: str, df: DataFrame) -> DataFrame:
+            # distinct FAIR pool per concurrent stage: under FIFO the second
+            # job's tasks only backfill the first job's idle slots; FAIR
+            # interleaves them so neither stage's small tail serializes the
+            # other (spark.scheduler.mode=FAIR set in spark_session)
+            sc = df.sparkSession.sparkContext
+            sc.setLocalProperty("spark.scheduler.pool", f"stage-{n}")
+            try:
+                return self._stage(n, df)
+            finally:
+                sc.setLocalProperty("spark.scheduler.pool", None)
+
         with ThreadPoolExecutor(len(named)) as pool:
-            futs = [pool.submit(self._stage, n, df) for n, df in named]
+            futs = [pool.submit(run, n, df) for n, df in named]
             return [f.result() for f in futs]
 
     def build_graph(self, docs: DataFrame, spark: Optional[SparkSession] = None) -> GraphResult:
@@ -149,11 +198,17 @@ class WaterwayEngine:
         else:
             intersected = simplified
 
-        # the snap domain is consumed 4× inside snap_map (max-lat agg, both
-        # sides of the ε-pair join, the final mapping join) — materialize it
-        # once instead of recomputing the vertex groupBy per consumer
+        # the snap domain is consumed 3× inside snap_map (max-lat bound, the
+        # block kernel, the final mapping join) — materialize it once instead
+        # of recomputing the vertex groupBy per consumer
         domain = self._stage("clustering_domain", clustering_domain_fast(intersected))
-        snap = self._stage("clustering", snap_map(domain, cfg, spark))
+        # max|lat| only bounds the block-grid level (any upper bound gives a
+        # coarser-or-equal, still-correct level) — read it from the domain
+        # parquet footers driver-side instead of running a Spark agg job
+        maxlat = _parquet_max_abs(self._last_stage_path, "lat")
+        snap = self._stage(
+            "clustering", snap_map(domain, cfg, spark, max_abs_lat=maxlat)
+        )
 
         # edges and nodes are independent given (intersected, snap) — overlap
         edges, nodes = self._stages_concurrent(
@@ -198,6 +253,7 @@ def spark_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():
