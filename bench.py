@@ -75,9 +75,18 @@ def run_bench(spark, sf_dir: str, n_docs: int, reps: int) -> dict:
     mult = 10.0 if n_docs >= 200_000 else 3.0
     cfg = EngineConfig(filter_waterway_types=False, max_displacement_multiplier=mult)
 
-    # materialize the input once so generation isn't measured
+    # materialize the input once so generation isn't measured. Parquet in
+    # the scratch dir (tmpfs), NOT .cache(): cached docs live as
+    # DESERIALIZED JVM rows in the heap for the whole run — the same GC
+    # inflation the pipeline's stage boundaries dropped localCheckpoint for
+    # (docs/SCALE.md) — and at 10^12-doc scale the input is a table scan,
+    # never executor storage.
     t0 = time.time()
-    docs = docs_dataframe(spark, n_docs, params).cache()
+    docs_path = os.path.join(
+        spark.conf.get("spark.local.dir", "/tmp").split(",")[0], "bench-docs"
+    )
+    docs_dataframe(spark, n_docs, params).write.mode("overwrite").parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
     n_spans = docs.select(F.sum(F.size("spans"))).collect()[0][0]
     record("docs_generate", time.time() - t0)
 
@@ -107,8 +116,14 @@ def run_bench(spark, sf_dir: str, n_docs: int, reps: int) -> dict:
         # column without the executor-storage serialization of .cache(),
         # which defeats column pruning and dominated the tail at low core
         # counts; the count itself then prunes to a metadata-cheap scan
+        t_tail = time.time()
         g.edges.write.format("noop").mode("overwrite").save()
+        if os.environ.get("OSMWWE_STAGE_TIMING"):
+            print(f"[stage] final_noop_write: {time.time() - t_tail:.2f}s", flush=True)
+        t_cnt = time.time()
         n_edges = g.edges.count()
+        if os.environ.get("OSMWWE_STAGE_TIMING"):
+            print(f"[stage] final_count: {time.time() - t_cnt:.2f}s", flush=True)
         record("waterway_pipeline", time.time() - t0)
 
         t0 = time.time()
@@ -123,7 +138,6 @@ def run_bench(spark, sf_dir: str, n_docs: int, reps: int) -> dict:
             df.write.format("noop").mode("overwrite").save()
             record(name, time.time() - t0)
 
-    docs.unpersist()
     best = {k: min(v) for k, v in runs.items()}
     pipeline_sec = best["waterway_pipeline"]
     return {

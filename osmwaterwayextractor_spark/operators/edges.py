@@ -36,8 +36,11 @@ def fids_str(arr: np.ndarray) -> list[str]:
 EDGES_SCHEMA = (
     "id string, from_node_id string, to_node_id string, length_m double, "
     "lats array<double>, lons array<double>, name string, type string, "
-    "width_raw string, width_m double, width_source string, original_way_id long"
+    "width_raw string, width_m double, width_source string, original_way_id long, "
+    "covering array<bigint>"
 )
+
+COVERING_H3_RES = 8  # per-edge S2-style covering resolution (tiles.py default)
 
 
 def endpoint_junction_points(ways: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -229,7 +232,8 @@ def build_edges(ways: DataFrame, snap: DataFrame, config: EngineConfig) -> DataF
                 yield pd.DataFrame(
                     {k: [] for k in (
                         "id", "from_node_id", "to_node_id", "length_m", "lats", "lons",
-                        "name", "type", "width_raw", "width_m", "width_source", "original_way_id",
+                        "name", "type", "width_raw", "width_m", "width_source",
+                        "original_way_id", "covering",
                     )}
                 )
                 continue
@@ -239,6 +243,15 @@ def build_edges(ways: DataFrame, snap: DataFrame, config: EngineConfig) -> DataF
             eids = edge_ids(
                 fids, tids, np.asarray(wids, dtype=np.int64),
                 np.asarray(ks, dtype=np.int64), hash_length,
+            )
+            # covering fused into the split kernel: the Catalyst HOF variant
+            # (tiles.edge_covering_col, kept for the SQL-checked query) is
+            # interpreted per row and measured as the dominant pipeline tail
+            # at 1M edges — this is one vectorized pass over the same arrays
+            from ..functions.tiling import H3_RES_TO_LEVEL, polyline_coverings
+
+            coverings = polyline_coverings(
+                seg_lats, seg_lons, H3_RES_TO_LEVEL[COVERING_H3_RES]
             )
             yield pd.DataFrame(
                 {
@@ -256,6 +269,7 @@ def build_edges(ways: DataFrame, snap: DataFrame, config: EngineConfig) -> DataF
                     ],
                     "width_source": [m[4] for m in meta],
                     "original_way_id": wids,
+                    "covering": coverings,
                 }
             )
 

@@ -216,7 +216,11 @@ class WaterwayEngine:
         )
 
         nodes_t = with_node_cells(nodes, cfg)
-        edges_t = with_edge_covering(with_edge_cells(edges, cfg), cfg)
+        # build_edges emits `covering` from the fused NumPy kernel; the
+        # Catalyst with_edge_covering expr is only applied if absent
+        edges_t = with_edge_cells(edges, cfg)
+        if "covering" not in edges_t.columns:
+            edges_t = with_edge_covering(edges_t, cfg)
         if self.checkpointer is not None:
             # Iceberg-style final layout: nodes/edges land partitioned by
             # their coarsest tile cell, resumable at the tile-partition level

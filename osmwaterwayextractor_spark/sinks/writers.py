@@ -236,3 +236,57 @@ def save_manifest(
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(manifest, f, indent=2, default=str)
+
+
+def format_extraction_report(
+    qa: dict,
+    config,
+    input_name: str = "",
+    processing_seconds: float = 0.0,
+    histogram: Optional[list] = None,
+    output_sizes: Optional[dict] = None,
+) -> str:
+    """End-of-run console summary, reference-shaped
+    (osm_waterway_extractor.py:3262-3300: banner, counts, config echo,
+    quality metrics, per-file sizes, ODbL notice). Consumes the already
+    computed qa dict — no extra Spark jobs."""
+    bar = "=" * 60
+    lines = ["", bar, "WATERWAY EXTRACTION SUMMARY v2.1", bar]
+    if input_name:
+        lines.append(f"Input: {input_name}")
+    lines += [
+        f"Final nodes: {qa.get('final_nodes', 0):,}",
+        f"Final edges: {qa.get('final_edges', 0):,}",
+        f"Processing time: {processing_seconds:.2f}s",
+        "",
+        "Configuration:",
+        f"  Snap tolerance: {config.snap_tolerance_m}m",
+        f"  Min edge length: {config.min_fragment_length_m}m",
+        f"  Coordinate precision: {config.coordinate_precision} decimal places",
+        "",
+        "Quality Metrics:",
+        f"  Width parse success: {qa.get('width_parse_success_rate', 0):.1f}%",
+        f"  Mean edge length: {(qa.get('mean_edge_length_m') or 0):.1f}m",
+        f"  Edge length p50/p95: "
+        f"{(qa.get('edge_length_p50_m') or 0):.1f}m / {(qa.get('edge_length_p95_m') or 0):.1f}m",
+    ]
+    dv = qa.get("distance_validation_samples")
+    if dv:
+        lines.append(
+            f"  Distance validation: {dv} samples, max err "
+            f"{qa.get('distance_validation_max_error_m', 0.0):.6f}m"
+        )
+    if histogram:
+        lines += ["", "Waterway types:"]
+        for row in histogram:
+            lines.append(f"  {row[0] or '(none)'}: {row[1]:,}")
+    if output_sizes:
+        lines += ["", "Output files:"]
+        total = 0
+        for name, size in output_sizes.items():
+            sz = size.get("bytes", 0) if isinstance(size, dict) else int(size or 0)
+            total += sz
+            lines.append(f"  {name} ({sz:,} bytes)")
+        lines.append(f"  Total size: {total:,} bytes")
+    lines += [bar, "(c) OpenStreetMap contributors. Data licensed under ODbL."]
+    return "\n".join(lines)

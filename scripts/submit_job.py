@@ -47,6 +47,9 @@ def main() -> None:
 
         cfg = dataclasses.replace(cfg, filter_waterway_types=False)
 
+    import time as _time
+
+    t_start = _time.time()
     if args.docs.startswith("synth:"):
         from osmwaterwayextractor_spark.sources.docsgen import DocsGenParams, docs_dataframe
 
@@ -84,7 +87,31 @@ def main() -> None:
         },
         results={"final_nodes": qa["final_nodes"], "final_edges": qa["final_edges"]},
     )
-    print({"nodes": qa["final_nodes"], "edges": qa["final_edges"]})
+    # reference-shaped console summary (osm_waterway_extractor.py:3262-3300)
+    from osmwaterwayextractor_spark.operators.qa import waterway_type_histogram
+
+    hist = [
+        (r["waterway_type"], r["n_edges"])
+        for r in waterway_type_histogram(g.edges).collect()
+    ]
+    sizes = writers._dir_sizes(
+        {
+            "nodes.parquet": os.path.join(args.out, "nodes.parquet"),
+            "edges.parquet": os.path.join(args.out, "edges.parquet"),
+            "tile_rollup.parquet": os.path.join(args.out, "tile_rollup.parquet"),
+            "manifest.json": os.path.join(args.out, "manifest.json"),
+        }
+    )
+    print(
+        writers.format_extraction_report(
+            qa,
+            cfg,
+            input_name=args.docs,
+            processing_seconds=_time.time() - t_start,
+            histogram=hist,
+            output_sizes=sizes,
+        )
+    )
     spark.stop()
 
 

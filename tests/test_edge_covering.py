@@ -55,3 +55,30 @@ def test_edge_covering_in_pipeline_output(spark):
     assert all(len(r["covering"]) >= 1 for r in rows)
     # the midpoint-vertex cell is always part of the covering
     assert all(r["cell_r8"] in set(r["covering"]) for r in rows)
+
+
+def test_polyline_coverings_kernel_matches_catalyst_expr(spark):
+    """The fused NumPy covering kernel (pipeline path) must be bit-identical
+    to the Catalyst edge_covering_col expression (SQL-checked query path)."""
+    import numpy as np
+
+    from osmwaterwayextractor_spark.functions.tiling import polyline_coverings
+
+    rng = np.random.default_rng(7)
+    edges = []
+    for i in range(200):
+        n = int(rng.integers(2, 12))
+        la = 40.0 + rng.random() * 20 + np.cumsum(rng.normal(0, 0.004, n))
+        lo = 5.0 + rng.random() * 30 + np.cumsum(rng.normal(0, 0.004, n))
+        edges.append((str(i), la.tolist(), lo.tolist()))
+    df = spark.createDataFrame(edges, EDGE_SCHEMA)
+    level = H3_RES_TO_LEVEL[8]
+    want = {
+        r["id"]: list(r["covering"])
+        for r in with_edge_covering(df, EngineConfig()).collect()
+    }
+    got = polyline_coverings(
+        [np.array(e[1]) for e in edges], [np.array(e[2]) for e in edges], level
+    )
+    for (eid, _la, _lo), cells in zip(edges, got):
+        assert cells.tolist() == want[eid], eid

@@ -226,3 +226,35 @@ def test_sinks_roundtrip(spark, tmp_path):
     fp_full = writers.input_fingerprint(docs)
     fp_less = writers.input_fingerprint(docs.limit(docs.count() - 1))
     assert fp_full != fp_less
+
+
+def test_extraction_report_format():
+    """Reference-shaped console summary (osm_waterway_extractor.py:3262-3300)
+    — pure formatter over the computed qa dict, no Spark jobs."""
+    from osmwaterwayextractor_spark.config import EngineConfig
+    from osmwaterwayextractor_spark.sinks.writers import format_extraction_report
+
+    qa = {
+        "final_nodes": 1234,
+        "final_edges": 5678,
+        "width_parse_success_rate": 87.5,
+        "mean_edge_length_m": 321.7,
+        "edge_length_p50_m": 100.0,
+        "edge_length_p95_m": 900.0,
+        "distance_validation_samples": 10,
+        "distance_validation_max_error_m": 0.0,
+    }
+    rep = format_extraction_report(
+        qa,
+        EngineConfig(),
+        input_name="synth:100",
+        processing_seconds=12.34,
+        histogram=[("river", 4000), ("canal", 1678)],
+        output_sizes={"edges.parquet": 2048, "nodes.parquet": 1024},
+    )
+    assert "WATERWAY EXTRACTION SUMMARY v2.1" in rep
+    assert "Final edges: 5,678" in rep
+    assert "river: 4,000" in rep
+    assert "Total size: 3,072 bytes" in rep
+    assert "ODbL" in rep
+    assert "Snap tolerance: 6.0m" in rep

