@@ -18,6 +18,8 @@ the driver records rows-only checks for them.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -771,8 +773,26 @@ def q_waterway_nodes(spark, sf_dir):
 
 
 def q_waterway_tile_rollup(spark, sf_dir):
-    g, _ = _graph(spark, sf_dir)
-    return g.tile_rollup
+    """Rollup re-derived from the final edges with an exact DECIMAL sum:
+    double SUM is order-dependent (non-associative fp addition), so the
+    driver-facing query sums lengths as decimal(28,6) — exact and
+    order-independent, hence hash-comparable against the committed golden
+    (equal to g.tile_rollup up to 1e-6 m length quantization)."""
+    g, cfg = _graph(spark, sf_dir)
+    out = None
+    for res in cfg.tile_resolutions:
+        part = (
+            g.edges.groupBy(F.col(f"cell_r{res}").alias("cell"))
+            .agg(
+                F.count("*").alias("edge_count"),
+                F.sum(F.col("length_m").cast("decimal(28,6)"))
+                .cast("double")
+                .alias("total_length_m"),
+            )
+            .withColumn("res", F.lit(res))
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.select("res", "cell", "edge_count", "total_length_m")
 
 
 def q_waterway_knn_dangling(spark, sf_dir):
@@ -872,8 +892,37 @@ def queries():
     }
 
 
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "goldens"
+)
+
+# Queries with no SQL formulation get a committed GOLDEN snapshot instead:
+# scripts/make_goldens.py computes each result independently of the Spark
+# operators (single-process oracle.py for the waterway graph; pure
+# Python/NumPy reimplementations for dedup/ANN/fingerprints/media) and
+# writes goldens/<name>.parquet pinned to the sf0.01 correctness tables.
+# The driver's DuckDB side then reads the snapshot, making the comparison a
+# falsifiable rows+schema+hash check rather than a rows-only smoke test.
+GOLDEN_QUERIES = (
+    "waterway_edges",
+    "waterway_nodes",
+    "waterway_tile_rollup",
+    "waterway_knn_dangling",
+    "minhash_pairs",
+    "simhash_pairs",
+    "lsh_ann",
+    "fingerprints",
+    "media_features",
+)
+
+
+def _golden_sql(name: str) -> str:
+    return f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.parquet')"
+
+
 def oracle_sql():
     return {
+        **{name: _golden_sql(name) for name in GOLDEN_QUERIES},
         "filter_project": SQL_FILTER_PROJECT,
         "width_parse": _sql_width_parse(),
         "multiplicity": SQL_MULTIPLICITY,

@@ -59,10 +59,10 @@ def _xxh64_fixed_len(mat: np.ndarray, seed: int = 0) -> np.ndarray:
     seed_ = np.uint64(seed)
     pos = 0
     if n >= 32:
-        v1 = np.full(k, seed_ + _P1 + _P2, dtype=np.uint64)
-        v2 = np.full(k, seed_ + _P2, dtype=np.uint64)
-        v3 = np.full(k, seed_, dtype=np.uint64)
         with np.errstate(over="ignore"):  # uint64 wraparound is the algorithm
+            v1 = np.full(k, seed_ + _P1 + _P2, dtype=np.uint64)
+            v2 = np.full(k, seed_ + _P2, dtype=np.uint64)
+            v3 = np.full(k, seed_, dtype=np.uint64)
             v4 = np.full(k, seed_ - _P1, dtype=np.uint64)
         while pos + 32 <= n:
             v1 = _rotl(v1 + _read_u64(mat, pos) * _P2, 31) * _P1

@@ -26,6 +26,25 @@ from pyspark.sql import functions as F
 _MERSENNE = (1 << 31) - 1
 
 
+def _scratch_stage(df: DataFrame, name: str) -> DataFrame:
+    """Materialize ``df`` to scratch parquet under ``spark.local.dir`` and
+    read it back. Used where a frame feeds several downstream joins:
+    ``.cache()`` would pin it as deserialized JVM rows in executor storage
+    for the session (the shingle table is 5-10× the corpus in rows — the
+    exact storage-thrash pathology docs/SCALE.md documents), while a snappy
+    parquet round-trip costs one write and keeps every re-read a pruned
+    columnar scan. The scratch path is deterministic per-name and
+    mode=overwrite, so repeated calls reuse (not leak) the same directory;
+    spark.local.dir is session-scratch, reclaimed with the session."""
+    spark = df.sparkSession
+    import os
+
+    base = spark.conf.get("spark.local.dir", "/tmp").split(",")[0]
+    path = os.path.join(base, f"dedup-scratch-{name}")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def _perm_params(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
     import random
 
@@ -48,19 +67,28 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def word_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """→ (doc_id, shingle_hash long): distinct word n-gram hashes (JVM xxhash64)."""
+    """→ (doc_id, shingle_hash long): distinct word n-gram hashes (JVM xxhash64).
+
+    Docs with fewer than ``n`` tokens yield no shingles. The size guard is
+    load-bearing: without it ``sequence(0, -1)`` descends and feeds
+    ``slice(toks, 0, n)``, which throws at runtime on any short/empty doc
+    (Spark sequence() auto-steps -1 when stop < start)."""
     toks = docs.select(
         "doc_id", F.split(F.lower(F.col(text_col)), r"\s+").alias("toks")
     )
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, greatest(size(toks)-{n}, 0) - 1), "
-                f"i -> concat_ws(' ', slice(toks, i+1, {n})))"
-            )
-        ).alias("shingle"),
-    ).where(F.length("shingle") > 0)
+    grams = (
+        toks.where(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks)-{n}), "
+                    f"i -> concat_ws(' ', slice(toks, i+1, {n})))"
+                )
+            ).alias("shingle"),
+        )
+        .where(F.length("shingle") > 0)
+    )
     return grams.select("doc_id", F.xxhash64("shingle").alias("shingle_hash")).distinct()
 
 
@@ -95,7 +123,9 @@ def minhash_lsh_pairs(
     not a driver loop).
     """
     rows = num_perm // bands
-    sh = word_shingles(docs, text_col, shingle_n).cache()
+    # read 4× downstream (signatures, sizes, both sides of the verify join)
+    # — scratch parquet, never executor-storage .cache()
+    sh = _scratch_stage(word_shingles(docs, text_col, shingle_n), "minhash-shingles")
     sig = minhash_signatures(sh, num_perm, seed)
     banded = sig.select(
         "doc_id",

@@ -40,7 +40,10 @@ EDGES_SCHEMA = (
     "covering array<bigint>"
 )
 
-COVERING_H3_RES = 8  # per-edge S2-style covering resolution (tiles.py default)
+# Single source of truth for the covering resolution lives in operators.tiles
+# so the fused kernel here and the Catalyst with_edge_covering path can never
+# drift apart (re-exported for back-compat with existing imports).
+from .tiles import COVERING_H3_RES  # noqa: E402
 
 
 def endpoint_junction_points(ways: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -16,6 +16,13 @@ from ..config import EngineConfig
 from ..functions.tiling import H3_RES_TO_LEVEL, LEVEL_SHIFT, X_SHIFT, XY_MASK, cell_width_deg
 
 
+# Per-edge covering resolution — the single source of truth. build_edges'
+# fused NumPy kernel (operators.edges) and the Catalyst fallback below must
+# agree, or pipelines would silently ship coverings at mixed resolutions
+# (pipeline.py skips with_edge_covering whenever a 'covering' column exists).
+COVERING_H3_RES = 8
+
+
 def cell_col(lat, lon, level: int):
     """Catalyst cell-id expression (same bit layout as functions.tiling)."""
     w = cell_width_deg(level)
@@ -84,7 +91,7 @@ def edge_covering_col(lats_col: str, lons_col: str, level: int):
     return F.expr(f"array_sort(array_distinct(flatten({seg})))")
 
 
-def with_edge_covering(edges: DataFrame, config: EngineConfig, res: int = 8) -> DataFrame:
+def with_edge_covering(edges: DataFrame, config: EngineConfig, res: int = COVERING_H3_RES) -> DataFrame:
     """edges + ``covering``: sorted distinct cell ids at H3-calibrated
     resolution ``res`` overlapped by the edge geometry."""
     return edges.withColumn(

@@ -135,6 +135,7 @@ class Checkpointer:
         config: EngineConfig,
         df: DataFrame,
         partition_col: str,
+        sink=None,
     ) -> DataFrame:
         """Tile-partition-level resume.
 
@@ -146,40 +147,37 @@ class Checkpointer:
         broadcast LEFT ANTI join against a DataFrame of done values: at
         worldwide res-7 scale that set is 10^5-10^6 strings, which must
         never be inlined into the plan as a literal IN-list (driver OOM /
-        analyzer blowup — VERDICT r2 what's-wrong 1)."""
-        import shutil
+        analyzer blowup — VERDICT r2 what's-wrong 1).
+
+        The physical table goes through the Iceberg-shaped ``sink`` seam
+        (sinks.table_sink): default ParquetTableSink over ``<stage>/data``;
+        pass an IcebergTableSink (or anything with the same surface) to land
+        the final tables in a real catalog — the sidecar bookkeeping here is
+        the parquet sink's substitute for Iceberg's snapshot log."""
+        from ..sinks.table_sink import ParquetTableSink
 
         sdir = self._stage_dir(stage, config)
         data_dir = os.path.join(sdir, "data")
+        if sink is None:
+            sink = ParquetTableSink(data_dir)
         done_flag = os.path.join(sdir, "_STAGE_DONE")
         if self.resume and os.path.exists(done_flag):
             self.events.append({"stage": stage, "action": "resumed"})
-            return self.spark.read.parquet(data_dir)
+            return sink.read(self.spark)
 
-        prefix = f"{partition_col}="
-        on_disk: set[str] = set()
-        if os.path.isdir(data_dir):
-            on_disk = {
-                n[len(prefix):] for n in os.listdir(data_dir) if n.startswith(prefix)
-            }
+        on_disk = set(sink.list_partitions(partition_col))
         committed = self._committed_partitions(sdir) if self.resume else set()
         done = committed & on_disk
         for val in on_disk - committed:  # uncommitted leftovers: prune
-            shutil.rmtree(os.path.join(data_dir, prefix + val), ignore_errors=True)
+            sink.drop_partition(partition_col, val)
 
         pending = _pending_filter(self.spark, df, partition_col, done)
         run_id = uuid.uuid4().hex[:12]
         t0 = time.time()
         wrapped = _with_lineage_sidecar(pending, os.path.join(sdir, "lineage"), run_id)
-        (
-            wrapped.write.mode("append")
-            .partitionBy(partition_col)
-            .parquet(data_dir)
-        )
-        # job commit succeeded → everything on disk now is fully committed
-        now_on_disk = sorted(
-            n[len(prefix):] for n in os.listdir(data_dir) if n.startswith(prefix)
-        )
+        sink.append(wrapped, partition_col)
+        # job commit succeeded → everything in the table now is fully committed
+        now_on_disk = sorted(sink.list_partitions(partition_col))
         pdir = os.path.join(sdir, "_partitions")
         os.makedirs(pdir, exist_ok=True)
         self._atomic_write(
@@ -195,7 +193,7 @@ class Checkpointer:
                 "run_id": run_id,
             }
         )
-        return self.spark.read.parquet(data_dir)
+        return sink.read(self.spark)
 
     def lineage(self, stage: str, config: EngineConfig) -> list[dict]:
         ldir = os.path.join(self._stage_dir(stage, config), "lineage")

@@ -41,11 +41,14 @@ from ..operators.tiles import (
 from ..sources.parse import parse_nodes
 
 
-def _parquet_max_abs(path: Optional[str], col: str) -> Optional[float]:
+def _parquet_max_abs(path: Optional[str], col: str, max_files: int = 256) -> Optional[float]:
     """max(|col|) from parquet row-group footer statistics — a driver-side
-    O(files) metadata read that replaces a full Spark aggregation job when a
-    stage just materialized to parquet. Returns None (caller falls back to
-    the agg) when no path/stats are available."""
+    metadata read that replaces a full Spark aggregation job when a stage
+    just materialized to parquet. Returns None (caller falls back to the
+    distributed agg) when no path/stats are available, or when the directory
+    holds more than ``max_files`` files: footer stats of a *sample* are not
+    an upper bound, so past the cap the driver does zero footer I/O rather
+    than loop over 10⁵+ files."""
     if not path:
         return None
     import glob
@@ -55,7 +58,7 @@ def _parquet_max_abs(path: Optional[str], col: str) -> Optional[float]:
 
     mx: Optional[float] = None
     files = glob.glob(os.path.join(path, "*.parquet"))
-    if not files:
+    if not files or len(files) > max_files:
         return None
     for f in files:
         md = pq.read_metadata(f)

@@ -1,9 +1,11 @@
 """Output sinks S3-S8 (reference OutputManager, osm_waterway_extractor.py:2747-2963).
 
 All sinks take the engine's internal frames (edges with ``lats``/``lons``
-double arrays) and are ordinary DataFrame writers — distributed, codegen'd,
-no driver materialization except the single-file GeoJSON variant (guarded)
-and the JSON manifests.
+double arrays) and are ordinary DataFrame writers — distributed, codegen'd.
+The legacy single-file variants (GeoJSON, JSON-GZ) stream through
+``toLocalIterator()`` — one partition on the driver at a time, never a
+collected list — so even those paths are file-size bound, not driver-memory
+bound. Only the (small) JSON manifests are built driver-side.
 
 Deviations from the reference, documented:
 - CSV serializes ``coordinates`` as compact JSON ``[[lat,lon],...]`` rather
@@ -74,19 +76,26 @@ def geojson_features(edges: DataFrame) -> DataFrame:
 
 
 def save_geojson(edges: DataFrame, out_path: str, single_file_limit: int = 1_000_000) -> None:
-    """Single-file FeatureCollection (reference format). Guarded driver
-    collect — for larger outputs use ``geojson_features`` (JSONL) instead."""
+    """Single-file FeatureCollection (reference format). The driver STREAMS
+    features via ``toLocalIterator()`` — one partition resident at a time,
+    never the materialized feature list — so the sink is output-file-size
+    bound, not driver-memory bound. The guard caps the single local file;
+    for larger outputs write ``geojson_features`` as distributed JSONL."""
     feats = geojson_features(edges)
     n = feats.count()
     if n > single_file_limit:
         raise ValueError(
             f"{n} features exceed single-file GeoJSON guard; write geojson_features as JSONL"
         )
-    rows = [r["feature_json"] for r in feats.collect()]
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:
         f.write('{"type": "FeatureCollection", "features": [')
-        f.write(",".join(rows))
+        first = True
+        for r in feats.toLocalIterator():
+            if not first:
+                f.write(",")
+            f.write(r["feature_json"])
+            first = False
         f.write("]}")
 
 
@@ -120,23 +129,39 @@ def jsongz_frames(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFr
 
 
 def save_jsongz(nodes: DataFrame, edges: DataFrame, out_path: str) -> None:
-    """Single-file legacy graph json.gz (driver-side assembly, small outputs)."""
+    """Single-file legacy graph json.gz. The driver streams both frames via
+    ``toLocalIterator()`` and emits JSON incrementally (byte-identical to a
+    whole-document ``json.dump`` with default separators), so peak driver
+    residency is one partition, never the full node/edge lists."""
     import gzip
 
     nodes_out, edges_out = jsongz_frames(nodes, edges)
-    nlist = [[r["lat"], r["lon"]] for r in nodes_out.collect()]
-    elist = [
-        {
-            "start": r["start"],
-            "end": r["end"],
-            "length": r["length"],
-            "coordinates": [[c["lat"], c["lon"]] for c in r["coordinates"]],
-        }
-        for r in edges_out.collect()
-    ]
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with gzip.open(out_path, "wt") as f:
-        json.dump({"nodes": nlist, "edges": elist}, f)
+        f.write('{"nodes": [')
+        first = True
+        for r in nodes_out.toLocalIterator():
+            if not first:
+                f.write(", ")
+            f.write(json.dumps([r["lat"], r["lon"]]))
+            first = False
+        f.write('], "edges": [')
+        first = True
+        for r in edges_out.toLocalIterator():
+            if not first:
+                f.write(", ")
+            f.write(
+                json.dumps(
+                    {
+                        "start": r["start"],
+                        "end": r["end"],
+                        "length": r["length"],
+                        "coordinates": [[c["lat"], c["lon"]] for c in r["coordinates"]],
+                    }
+                )
+            )
+            first = False
+        f.write("]}")
 
 
 def mobile_frames(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:

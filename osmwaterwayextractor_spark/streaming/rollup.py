@@ -70,6 +70,21 @@ def streaming_cell_updates(
     )
 
 
+def _log_subdirs(out_dir: str) -> list[tuple[int, str]]:
+    """(batch_num, path) for every per-batch/snapshot dir in the upsert log."""
+    import os
+    import re
+
+    out = []
+    if not os.path.isdir(out_dir):
+        return out
+    for name in os.listdir(out_dir):
+        m = re.fullmatch(r"[bc](\d+)", name)
+        if m:
+            out.append((int(m.group(1)), os.path.join(out_dir, name)))
+    return sorted(out)
+
+
 def stream_tile_rollup(
     spark: SparkSession,
     docs_dir: str,
@@ -77,25 +92,48 @@ def stream_tile_rollup(
     checkpoint_dir: str,
     config: EngineConfig | None = None,
     res: int = 7,
+    compact_every: int = 10,
 ) -> StreamingQuery:
     """Watch ``docs_dir``; maintain the live rollup as a parquet upsert log.
 
     Update-mode emits each batch's changed cells with their CUMULATIVE
-    totals; ``foreachBatch`` appends them with the batch id, so the current
-    rollup is latest-batch-per-cell (``read_live_rollup``) — the same shape
-    an Iceberg MERGE-per-cell sink would take in production. foreachBatch
-    is checkpoint-recoverable (the memory sink is not), so a restarted
-    query resumes the per-cell state store exactly-once over the file
-    source. ``trigger(availableNow)`` drains pending files then stops."""
+    totals; ``foreachBatch`` lands each batch in its own ``b<id>`` subdir
+    (mode=overwrite ⇒ a replayed batch rewrites identical content, so the
+    sink is idempotent), and the current rollup is latest-batch-per-cell
+    (``read_live_rollup``) — the same shape an Iceberg MERGE-per-cell sink
+    would take in production. foreachBatch is checkpoint-recoverable (the
+    memory sink is not), so a restarted query resumes the per-cell state
+    store exactly-once over the file source. ``trigger(availableNow)``
+    drains pending files then stops.
+
+    Compaction: every ``compact_every`` batches the sink rewrites the
+    latest-per-cell snapshot into ``c<id>`` and drops the older subdirs, so
+    log size and ``read_live_rollup`` cost stay O(live cells + compact_every
+    · batch updates) instead of growing with the query's lifetime. Ordered
+    for crash-safety: the snapshot lands (idempotent overwrite) before any
+    deletion, and a crash mid-delete only leaves duplicate rows that the
+    latest-per-cell read already resolves. Set ``compact_every=0`` to
+    disable. (Dir pruning uses local-fs ops; a cloud deployment swaps in the
+    object-store delete API.)"""
     docs = spark.readStream.schema(DOC_SCHEMA_DDL).parquet(docs_dir)
     updates = streaming_cell_updates(docs, config, res)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.withColumn("_batch", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(out_dir)
+        import os
+        import shutil
+
+        batch_df.withColumn("_batch", F.lit(batch_id)).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{batch_id:09d}")
         )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            session = batch_df.sparkSession
+            older = [p for n, p in _log_subdirs(out_dir) if n < batch_id]
+            if not older:
+                return
+            snap = _latest_per_cell(session.read.parquet(*older, os.path.join(out_dir, f"b{batch_id:09d}")))
+            snap.write.mode("overwrite").parquet(os.path.join(out_dir, f"c{batch_id:09d}"))
+            for p in older:
+                shutil.rmtree(p, ignore_errors=True)
 
     return (
         updates.writeStream.foreachBatch(sink)
@@ -106,14 +144,21 @@ def stream_tile_rollup(
     )
 
 
-def read_live_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Current rollup: the latest emitted row per cell from the upsert log."""
+def _latest_per_cell(log: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
-    log = spark.read.parquet(out_dir)
     w = Window.partitionBy("cell").orderBy(F.desc("_batch"))
     return (
         log.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") == 1)
-        .select("cell", "node_count", "batch_count")
+        .select("cell", "node_count", "batch_count", "_batch")
     )
+
+
+def read_live_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Current rollup: the latest emitted row per cell from the upsert log
+    (per-batch ``b*`` dirs plus at most one live compaction snapshot
+    ``c*``)."""
+    dirs = [p for _n, p in _log_subdirs(out_dir)]
+    log = spark.read.parquet(*dirs) if dirs else spark.read.parquet(out_dir)
+    return _latest_per_cell(log).drop("_batch")

@@ -15,11 +15,19 @@ memory-bound JVM/Arrow work inflates per-thread CPU ~4× — event-log
 decomposition in BENCH/BASELINE.md), a ceiling a real 4N-executor cluster
 does not have because executors bring their own memory channels.
 
-Each leg runs in a FRESH subprocess — a second SparkSession reusing the
-first leg's JVM inherits its heap/thread state and measurably degrades.
+Protocol (fixed in advance — VERDICT r3 item 1, reproducibility):
+- each leg is a FRESH subprocess (a second SparkSession reusing a JVM
+  inherits heap/thread state and measurably degrades);
+- legs alternate back-to-back (2,8,2,8,...) so both levels sample the same
+  jitter windows; REPS=4 interleaved rounds per session;
+- the estimator is best-run-per-level over the session's reps (the standard
+  jitter-robust choice on a host whose throughput swings >2× over minutes);
+- EVERY session (pass or fail) is appended to BENCH/work/
+  scaling_sessions.jsonl and republished in BENCH/BASELINE.md, so the
+  claim is auditable across consecutive invocations, not a best window.
 
 Usage: python scripts/scaling_evidence.py [n_docs]
-Env:   SPARK_GRAFT_SCALING_LEVELS="2,8"  SPARK_GRAFT_SCALING_REPS=2
+Env:   SPARK_GRAFT_SCALING_LEVELS="2,8"  SPARK_GRAFT_SCALING_REPS=4
 """
 
 from __future__ import annotations
@@ -28,8 +36,17 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SESSIONS = os.path.join(ROOT, "BENCH", "work", "scaling_sessions.jsonl")
+
+# default doc count for evidence sessions: 100k docs (~500k edges) keeps the
+# workload compute-dominated (≥20k-doc floor, BENCH notes) while letting a
+# session of 4 interleaved rounds finish inside one quiet-host window; it
+# also stays under the 200k-doc displacement-multiplier relaxation, so both
+# legs run the DEFAULT engine config with no caveats.
+DEFAULT_DOCS = 100_000
 
 
 def one_level(cpus: int, n_docs: int) -> dict:
@@ -39,6 +56,7 @@ def one_level(cpus: int, n_docs: int) -> dict:
             "SPARK_GRAFT_CPUS": str(cpus),
             "SPARK_GRAFT_DOCS": str(n_docs),
             "SPARK_GRAFT_BENCH_MODE": "pipeline",
+            "SPARK_GRAFT_BENCH_REPS": "1",  # session-level interleaving below
         }
     )
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, os.path.join(ROOT, "bench.py")]
@@ -51,27 +69,69 @@ def one_level(cpus: int, n_docs: int) -> dict:
     return json.loads(line)
 
 
+def load_sessions() -> list[dict]:
+    if not os.path.exists(SESSIONS):
+        return []
+    with open(SESSIONS) as f:
+        return [json.loads(l) for l in f if l.strip()]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
-    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_DOCS
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "4"))
     levels = [
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")
     ]
-    # The sandbox host's CPU throughput swings >2x over minutes; single-run
-    # comparisons are meaningless. Run the levels INTERLEAVED `reps` times
-    # and take each level's best run — the standard jitter-robust estimator.
     runs: dict[int, list[dict]] = {c: [] for c in levels}
-    for _ in range(reps):
+    t_start = time.time()
+    for i in range(reps):
         for c in levels:
-            runs[c].append(one_level(c, n_docs))
+            r = one_level(c, n_docs)
+            runs[c].append(r)
+            print(
+                f"[round {i + 1}/{reps}] cpus={c}: {r['edges_per_sec']:.1f} edges/s "
+                f"({r['queries']['waterway_pipeline']:.1f}s)",
+                flush=True,
+            )
     results = [max(runs[c], key=lambda r: r["edges_per_sec"]) for c in levels]
 
     thr = [r["edges_per_sec"] for r in results]
     factor = levels[1] / levels[0]
     eff = (thr[1] / thr[0]) / factor if thr[0] > 0 else 0.0
+    # per-round paired efficiencies (legs of a round share a jitter window)
+    paired = [
+        round((b["edges_per_sec"] / a["edges_per_sec"]) / factor, 4)
+        for a, b in zip(runs[levels[0]], runs[levels[1]])
+    ]
 
-    os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+    session = {
+        "ts": time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime()),
+        "n_docs": n_docs,
+        "levels": levels,
+        "reps": reps,
+        "estimator": "best-per-level",
+        "edges_per_sec_runs": {
+            str(c): [round(r["edges_per_sec"], 1) for r in runs[c]] for c in levels
+        },
+        "edges_per_sec_best": [round(t, 1) for t in thr],
+        "paired_efficiencies": paired,
+        "scaling_efficiency": round(eff, 4),
+        "passed": eff >= 0.8,
+        "wall_minutes": round((time.time() - t_start) / 60, 1),
+    }
+    os.makedirs(os.path.dirname(SESSIONS), exist_ok=True)
+    with open(SESSIONS, "a") as f:
+        f.write(json.dumps(session) + "\n")
+
+    write_baseline_md(sf_dir, levels, factor, runs, results, eff, session)
+    print(json.dumps(session))
+
+
+def write_baseline_md(sf_dir, levels, factor, runs, results, eff, session) -> None:
+    history = load_sessions()
+    reps = session["reps"]
+    n_docs = session["n_docs"]
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
         f.write("# BENCH/BASELINE — throughput & N→4N scaling evidence\n\n")
         f.write(
@@ -83,20 +143,18 @@ def main() -> None:
             "the small leg's JVM/Python helper threads free-riding on idle host\n"
             "cores. AQE is off for the pipeline (its per-shuffle re-planning is\n"
             "serial driver latency; the pipeline has explicit skew defenses).\n"
-            f"Jitter control: host throughput varies >2× over minutes, so each\n"
-            f"level ran {reps}× interleaved; best run per level reported (all runs\n"
-            "below).\n"
-            "Config delta for ≥200k-doc legs ONLY: max_displacement_multiplier\n"
-            "is relaxed 3→10 (one synthetic ε-chain legitimately exceeds the\n"
-            "default guardrail at that scale — 21.9 m vs 18 m allowed). This\n"
-            "also coarsens the snap-block halo grid by one level; both legs of\n"
-            "a comparison always share the same multiplier, and sub-200k bench\n"
-            "points keep the default config (bench.py gates on n_docs).\n\n"
+            f"Fixed protocol (VERDICT r3 item 1): {reps} interleaved rounds, legs\n"
+            "back-to-back per round so both levels share each jitter window;\n"
+            "estimator = best run per level (declared in advance); EVERY session\n"
+            "is appended to BENCH/work/scaling_sessions.jsonl and republished\n"
+            "below — passes are consecutive-session reproducible, not a best\n"
+            "window. Sub-200k-doc sessions run the DEFAULT engine config (the\n"
+            "3→10 displacement-multiplier relaxation only arms at ≥200k docs).\n\n"
         )
-        f.write("All runs (edges/sec): ")
+        f.write("## This session\n\nAll runs (edges/sec): ")
         for c in levels:
             f.write(f"{c} cpus → {[round(r['edges_per_sec'], 1) for r in runs[c]]}  ")
-        f.write("\n\n")
+        f.write(f"\nPer-round paired efficiencies: {session['paired_efficiencies']}\n\n")
         f.write("| pinned cpus | pipeline sec | edges | edges/sec | tile-assign+rollup sec |\n")
         f.write("|---|---|---|---|---|\n")
         for c, r in zip(levels, results):
@@ -107,6 +165,21 @@ def main() -> None:
         f.write(
             f"\n**Scaling efficiency (throughput@{levels[1]} / throughput@{levels[0]}) "
             f"/ {factor:g} = {eff:.3f}** (target ≥ 0.8 per BASELINE.json)\n\n"
+        )
+        f.write("## Session history (ALL invocations of this script)\n\n")
+        f.write("| when | docs | reps | runs low | runs high | best low | best high | efficiency | pass |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|\n")
+        for s in history:
+            lo, hi = str(s["levels"][0]), str(s["levels"][1])
+            f.write(
+                f"| {s['ts']} | {s['n_docs']} | {s['reps']} | "
+                f"{s['edges_per_sec_runs'][lo]} | {s['edges_per_sec_runs'][hi]} | "
+                f"{s['edges_per_sec_best'][0]} | {s['edges_per_sec_best'][1]} | "
+                f"{s['scaling_efficiency']} | {'PASS' if s['passed'] else 'fail'} |\n"
+            )
+        f.write(
+            "\nPre-protocol (round ≤3, reps=2, 200k docs) sessions measured\n"
+            "0.693 / 0.724 / 0.912 — the spread that motivated this protocol.\n\n"
         )
         f.write("Why 2→8 and not 8→32 (measured, event-log decomposition):\n\n")
         f.write(
@@ -120,23 +193,13 @@ def main() -> None:
             "- Per-operator compute-dense kernels DO scale 8→32 here (round-1:\n"
             "  knn 236→23 s, minhash 36→5.5 s).\n\n"
         )
-        f.write("Stage wall times (seconds):\n\n| stage | " + " | ".join(str(c) + " cpus" for c in levels) + " |\n|---|---|---|\n")
+        f.write("Stage wall times, best runs this session (seconds):\n\n| stage | " + " | ".join(str(c) + " cpus" for c in levels) + " |\n|---|---|---|\n")
         for k in results[0]["queries"]:
             f.write(
                 f"| {k} | "
                 + " | ".join(f"{r['queries'].get(k, float('nan')):.2f}" for r in results)
                 + " |\n"
             )
-    print(
-        json.dumps(
-            {
-                "levels": levels,
-                "edges_per_sec": thr,
-                "tile_assign_sec": [r["tile_assign_sec"] for r in results],
-                "scaling_efficiency": round(eff, 4),
-            }
-        )
-    )
 
 
 if __name__ == "__main__":

@@ -48,11 +48,18 @@ def _rows(cols, data):
 SQL_CHECKED = sorted(entry_mod.oracle_sql().keys())
 ROWS_ONLY = sorted(set(entry_mod.queries().keys()) - set(SQL_CHECKED))
 
+# golden-backed queries (non-SQL-expressible) are pinned to the driver's
+# correctness scale factor — scripts/make_goldens.py computes their
+# snapshots against sf0.01, so the local replica compares there too
+from osmwaterwayextractor_spark.entry_queries import GOLDEN_QUERIES  # noqa: E402
+
+SF_GOLDEN = "/root/testdata/sf0.01"
+
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
 def test_sql_checked_query(spark, ddb, name):
     q = entry_mod.queries()[name]
-    df = q(spark, SF)
+    df = q(spark, SF_GOLDEN if name in GOLDEN_QUERIES else SF)
     got_cols = df.columns
     got_rows = [tuple(r) for r in df.collect()]
     res = ddb.execute(entry_mod.oracle_sql()[name])

@@ -84,3 +84,50 @@ def test_streaming_incremental_tile_rollup(spark, tmp_path):
         r["cell"]: r["node_count"] for r in read_live_rollup(spark, out_dir).collect()
     }
     assert got2 == expected(24)
+
+
+def test_rollup_log_compaction_bounds_growth(spark, tmp_path):
+    """Every ``compact_every`` batches the upsert log is rewritten as a
+    latest-per-cell snapshot and older per-batch dirs are pruned, so read
+    cost stops growing with query lifetime (ADVICE r3). Counts stay exact
+    across the compaction boundary."""
+    from pyspark.sql import functions as F
+
+    from osmwaterwayextractor_spark.functions.tiling import H3_RES_TO_LEVEL
+    from osmwaterwayextractor_spark.operators.tiles import cell_col
+    from osmwaterwayextractor_spark.sources.parse import parse_nodes
+    from osmwaterwayextractor_spark.streaming.rollup import (
+        read_live_rollup,
+        stream_tile_rollup,
+    )
+
+    docs_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "rollup_log")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = EngineConfig(filter_waterway_types=False)
+    os.makedirs(docs_dir)
+
+    all_ids = [f"doc-{i:08d}" for i in range(30)]
+    full = docs_dataframe(spark, 30, DocsGenParams(seed=9), partitions=2)
+    # batches 0..2 of 10 docs each; each availableNow run = one micro-batch
+    for lo in (0, 10, 20):
+        chunk = full.where(F.col("doc_id").isin(all_ids[lo:lo + 10]))
+        chunk.write.mode("append").parquet(docs_dir)
+        q = stream_tile_rollup(spark, docs_dir, out_dir, ckpt, cfg, compact_every=2)
+        q.awaitTermination(120)
+
+    # batch 2 triggered compaction: only the snapshot + the batch-2 dir remain
+    dirs = sorted(os.listdir(out_dir))
+    assert dirs == ["b000000002", "c000000002"]
+
+    cells = parse_nodes(full, cfg).select(
+        cell_col(F.col("lat"), F.col("lon"), H3_RES_TO_LEVEL[7]).alias("cell")
+    )
+    want = {
+        r["cell"]: r["n"]
+        for r in cells.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r["cell"]: r["node_count"] for r in read_live_rollup(spark, out_dir).collect()
+    }
+    assert got == want
