@@ -45,7 +45,9 @@ def build_session(cpus: int):
     )
 
 
-def run_bench(spark, sf_dir: str, n_docs: int, reps: int) -> dict:
+def run_bench(
+    spark, sf_dir: str, n_docs: int, reps: int, budget_sec: float | None = None
+) -> dict:
     """Every measured section runs ``reps`` times as interleaved full passes
     and reports the BEST time per section (all runs kept in ``runs``): this
     host's throughput swings >2× over minutes, so single-run numbers are
@@ -92,7 +94,7 @@ def run_bench(spark, sf_dir: str, n_docs: int, reps: int) -> dict:
 
     try:
         return _run_bench_body(
-            spark, sf_dir, n_docs, reps, docs, n_spans, cfg, record, runs
+            spark, sf_dir, n_docs, reps, docs, n_spans, cfg, record, runs, budget_sec
         )
     finally:
         # the staged docs live on tmpfs (shared with shuffle spill) — at
@@ -103,7 +105,9 @@ def run_bench(spark, sf_dir: str, n_docs: int, reps: int) -> dict:
         shutil.rmtree(docs_path, ignore_errors=True)
 
 
-def _run_bench_body(spark, sf_dir, n_docs, reps, docs, n_spans, cfg, record, runs) -> dict:
+def _run_bench_body(
+    spark, sf_dir, n_docs, reps, docs, n_spans, cfg, record, runs, budget_sec=None
+) -> dict:
     import time
 
     from osmwaterwayextractor_spark import entry_queries as EQ
@@ -128,7 +132,12 @@ def _run_bench_body(spark, sf_dir, n_docs, reps, docs, n_spans, cfg, record, run
     assert not set(query_names) & set(EQ.ORACLE_ONLY_QUERIES)
 
     n_edges = 0
-    for _ in range(max(1, reps)):
+    t_body = time.time()
+    for rep_i in range(max(1, reps)):
+        # a budget bounds the big-anchor section so the driver bench can't
+        # run away on a slow host: at least one rep always completes
+        if rep_i > 0 and budget_sec and time.time() - t_body > budget_sec:
+            break
         t0 = time.time()
         g = WaterwayEngine(cfg).build_graph(docs, spark)
         # full-column materialization of the final edges table (cells +
@@ -185,6 +194,35 @@ def main() -> None:
     finally:
         spark.stop()
 
+    # Second, less jitter-dominated anchor (VERDICT r3 item 7): a sf1-scale
+    # pipeline point (400k docs ≈ 2M edges) at full core count, run with the
+    # scaling protocol's pipeline config (fresh JVM, AQE off) so it is
+    # directly comparable to BENCH/BASELINE.md. reps=2 under a wall budget —
+    # the first rep always completes; the second is skipped only if the
+    # budget is blown (the JSON records how many ran).
+    anchor = None
+    anchor_docs = int(os.environ.get("SPARK_GRAFT_BENCH_ANCHOR_DOCS", "400000"))
+    if os.environ.get("SPARK_GRAFT_BENCH_MODE") != "pipeline" and anchor_docs > 0:
+        os.environ["SPARK_GRAFT_BENCH_MODE"] = "pipeline"
+        anchor_reps = int(os.environ.get("SPARK_GRAFT_BENCH_ANCHOR_REPS", "2"))
+        budget = float(os.environ.get("SPARK_GRAFT_BENCH_ANCHOR_BUDGET", "900"))
+        spark2 = build_session(cpus)
+        try:
+            a = run_bench(spark2, sf_dir, anchor_docs, anchor_reps, budget_sec=budget)
+        finally:
+            spark2.stop()
+            os.environ["SPARK_GRAFT_BENCH_MODE"] = ""
+        anchor = {
+            "n_docs": a["n_docs"],
+            "cpus": cpus,
+            "n_edges": a["n_edges"],
+            "pipeline_sec": round(a["timings"]["waterway_pipeline"], 3),
+            "edges_per_sec": round(a["edges_per_sec"], 2),
+            "tile_assign_sec": round(a["tile_assign_sec"], 3),
+            "reps_run": len(a["runs"]["waterway_pipeline"]),
+            "runs": [round(x, 3) for x in a["runs"]["waterway_pipeline"]],
+        }
+
     total = sum(res["timings"].values()) - res["timings"]["docs_generate"]
     out = {
         "metric": "waterway_pipeline_plus_queries_wall_sec",
@@ -201,6 +239,8 @@ def main() -> None:
         "reps": reps,
         "runs": {k: [round(x, 3) for x in v] for k, v in res["runs"].items()},
     }
+    if anchor is not None:
+        out["anchor"] = anchor
     print(json.dumps(out))
 
 
