@@ -25,6 +25,9 @@ def build_session(cpus: int):
     from osmwaterwayextractor_spark.plans.pipeline import spark_session
 
     extra = {
+        "spark.eventLog.enabled": os.environ.get("OSMWWE_EVENTLOG", "false"),
+        "spark.eventLog.dir": "/tmp/spark-events",
+        "spark.eventLog.compress": "false",
         "spark.driver.memory": "48g",
         "spark.sql.autoBroadcastJoinThreshold": "64MB",
         # shuffle/spill on tmpfs: the sandbox's virtio disk has high and
