@@ -114,6 +114,40 @@ def load_sessions() -> list[dict]:
         return [json.loads(l) for l in f if l.strip()]
 
 
+def estimate(runs: dict[int, list[dict]], levels: list[int]) -> dict:
+    """The declared-in-advance estimator, as a pure function (unit-tested).
+
+    Best run per level among legs NOT flagged for hypervisor steal; if every
+    leg of a level was flagged the session is interference-invalidated
+    (neither pass nor design fail) and the all-legs number is reported
+    alongside for completeness. Paired efficiencies compare the two legs of
+    each interleaved round (they share a jitter window).
+    """
+    clean: dict[int, list[dict]] = {
+        c: [r for r in runs[c] if not r["interference"]] for c in levels
+    }
+    invalidated = any(not clean[c] for c in levels)
+    pick = {c: (clean[c] or runs[c]) for c in levels}
+    results = [max(pick[c], key=lambda r: r["edges_per_sec"]) for c in levels]
+
+    thr = [r["edges_per_sec"] for r in results]
+    factor = levels[1] / levels[0]
+    eff = (thr[1] / thr[0]) / factor if thr[0] > 0 else 0.0
+    paired = [
+        round((b["edges_per_sec"] / a["edges_per_sec"]) / factor, 4)
+        for a, b in zip(runs[levels[0]], runs[levels[1]])
+    ]
+    return {
+        "results": results,
+        "thr": thr,
+        "factor": factor,
+        "eff": eff,
+        "paired": paired,
+        "invalidated": invalidated,
+        "passed": (eff >= 0.8) and not invalidated,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_DOCS
@@ -133,25 +167,9 @@ def main() -> None:
                 f"{' INTERFERENCE' if r['interference'] else ''})",
                 flush=True,
             )
-    # estimator (declared in advance): best run per level among legs NOT
-    # flagged for hypervisor steal; if every leg of a level was flagged the
-    # session is interference-invalidated (neither pass nor design fail) and
-    # the all-legs number is reported alongside for completeness.
-    clean: dict[int, list[dict]] = {
-        c: [r for r in runs[c] if not r["interference"]] for c in levels
-    }
-    invalidated = any(not clean[c] for c in levels)
-    pick = {c: (clean[c] or runs[c]) for c in levels}
-    results = [max(pick[c], key=lambda r: r["edges_per_sec"]) for c in levels]
-
-    thr = [r["edges_per_sec"] for r in results]
-    factor = levels[1] / levels[0]
-    eff = (thr[1] / thr[0]) / factor if thr[0] > 0 else 0.0
-    # per-round paired efficiencies (legs of a round share a jitter window)
-    paired = [
-        round((b["edges_per_sec"] / a["edges_per_sec"]) / factor, 4)
-        for a, b in zip(runs[levels[0]], runs[levels[1]])
-    ]
+    est = estimate(runs, levels)
+    results, thr, eff = est["results"], est["thr"], est["eff"]
+    factor, paired, invalidated = est["factor"], est["paired"], est["invalidated"]
 
     session = {
         "ts": time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime()),
@@ -169,7 +187,7 @@ def main() -> None:
         "paired_efficiencies": paired,
         "scaling_efficiency": round(eff, 4),
         "interference_invalidated": invalidated,
-        "passed": (eff >= 0.8) and not invalidated,
+        "passed": est["passed"],
         "wall_minutes": round((time.time() - t_start) / 60, 1),
     }
     os.makedirs(os.path.dirname(SESSIONS), exist_ok=True)
