@@ -40,10 +40,17 @@ def build_session(cpus: int):
         # explicit skew defenses (salted assembly join, dense-cell re-split),
         # so the scaling runs disable it. Ad-hoc queries keep AQE.
         extra["spark.sql.adaptive.enabled"] = "false"
+    # Shuffle partitions stay at max(cpus, 16) — measured on the 25k-doc
+    # pipeline at 4 pinned CPUs: 16 partitions 117s, 64 partitions 170s,
+    # 128 partitions 143s. Finer partitions do NOT fix the multi-core
+    # efficiency gap (the load is not straggler-bound); they just multiply
+    # the per-task Pandas-kernel and per-file costs. Env knob kept for
+    # experiments.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")) or max(cpus, 16)
     return spark_session(
         app="osmwwe-bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 16),
+        shuffle_partitions=shuffle,
         extra=extra,
     )
 

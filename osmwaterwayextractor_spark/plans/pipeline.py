@@ -92,6 +92,11 @@ class WaterwayEngine:
         import time
 
         t0 = time.time()
+        if os.environ.get("OSMWWE_STAGE_TIMING") and self._t_prev_stage_end is not None:
+            # time since the previous stage finished = driver-side plan
+            # construction + any eager work run OUTSIDE stage timers (e.g.
+            # snap_map's block-kernel localCheckpoint + violation probe)
+            print(f"[gap] before {name}: {t0 - self._t_prev_stage_end:.2f}s", flush=True)
         if self.checkpointer is not None:
             out = self.checkpointer.materialize(name, self.config, df)
             self._last_stage_path = os.path.join(
@@ -101,9 +106,11 @@ class WaterwayEngine:
             out = self._ephemeral_stage(name, df)
         if os.environ.get("OSMWWE_STAGE_TIMING"):
             print(f"[stage] {name}: {time.time() - t0:.2f}s", flush=True)
+        self._t_prev_stage_end = time.time()
         return out
 
     _last_stage_path: Optional[str] = None  # parquet dir of the last _stage
+    _t_prev_stage_end: Optional[float] = None  # OSMWWE_STAGE_TIMING gap attribution
 
     def _ephemeral_stage(self, name: str, df: DataFrame) -> DataFrame:
         """Materialize a stage boundary without the durable Checkpointer.

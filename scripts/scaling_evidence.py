@@ -82,6 +82,31 @@ def _read_cpu_ticks() -> tuple[int, int]:
     return vals[7], sum(vals)
 
 
+def spread_cpuset(cpus: int) -> str:
+    """k pinned CPUs SPREAD across the vCPU space at stride 32/k, starting
+    at cpu1 — never compact 0..k-1, never cpu0.
+
+    Measured on this VM (scripts/host_probe.py): a pure-ALU loop scales
+    1→4 at 4.02× under COMPACT pinning (cores are honest), but the memory
+    path is shared between ADJACENT vCPUs — streaming bandwidth at 4
+    compact cores (0-3) reached 6.0 GB/s (2.1×) while the SAME probe at 4
+    spread cores (0,8,16,24) reached 59.7 GB/s in the same minute. A real
+    4N-executor cluster gives every executor its own memory channels, so
+    compact pinning measures a sandbox artifact (one shared path split 4
+    ways), not the engine. cpu0 is excluded outright: it hosts the VM's
+    IRQ/system load and has measured as low as 0.27 GB/s streaming while
+    cpu1-31 measured 6-13 GB/s. Both choices are fixed in advance of any
+    session using them and are level-symmetric (the 1-CPU leg gets the
+    same class of core as each of the 4-CPU leg's)."""
+    if cpus >= _N_CPUS:
+        return f"0-{_N_CPUS - 1}"
+    stride = max(1, _N_CPUS // cpus)
+    return ",".join(str((1 + i * stride) % _N_CPUS) for i in range(cpus))
+
+
+_N_CPUS = os.cpu_count() or 32
+
+
 def one_level(cpus: int, n_docs: int) -> dict:
     env = dict(os.environ)
     env.update(
@@ -92,7 +117,8 @@ def one_level(cpus: int, n_docs: int) -> dict:
             "SPARK_GRAFT_BENCH_REPS": "1",  # session-level interleaving below
         }
     )
-    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, os.path.join(ROOT, "bench.py")]
+    cpuset = os.environ.get(f"SPARK_GRAFT_SCALING_CPUSET_{cpus}") or spread_cpuset(cpus)
+    cmd = ["taskset", "-c", cpuset, sys.executable, os.path.join(ROOT, "bench.py")]
     s0, t0 = _read_cpu_ticks()
     out = subprocess.run(cmd, env=env, capture_output=True, text=True)
     s1, t1 = _read_cpu_ticks()
@@ -104,6 +130,7 @@ def one_level(cpus: int, n_docs: int) -> dict:
     r = json.loads(line)
     r["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
     r["interference"] = r["steal_pct"] > STEAL_FLAG_PCT
+    r["cpuset"] = cpuset
     return r
 
 
@@ -177,6 +204,7 @@ def main() -> None:
         "levels": levels,
         "reps": reps,
         "estimator": f"best-per-level over legs with steal<= {STEAL_FLAG_PCT}%",
+        "cpusets": {str(c): (runs[c][0]["cpuset"] if runs[c] else "") for c in levels},
         "edges_per_sec_runs": {
             str(c): [round(r["edges_per_sec"], 1) for r in runs[c]] for c in levels
         },
@@ -211,8 +239,22 @@ def write_baseline_md(sf_dir, levels, factor, runs, results, eff, session) -> No
             f"fresh local[k] JVM per leg) — no real cluster in this sandbox, so\n"
             "N→4N executors is evidenced as N vs 4N pinned cores; pinning stops\n"
             "the small leg's JVM/Python helper threads free-riding on idle host\n"
-            "cores. AQE is off for the pipeline (its per-shuffle re-planning is\n"
-            "serial driver latency; the pipeline has explicit skew defenses).\n"
+            "cores. Pins are SPREAD across the vCPU space at stride 32/k\n"
+            "(this session: "
+            + ", ".join(
+                f"{c} cpus → taskset -c {session['cpusets'][str(c)]}" for c in levels
+            )
+            + "),\n"
+            "never compact 0..k-1 and never cpu0: host_probe.py measured\n"
+            "adjacent vCPUs sharing one memory path (streaming bandwidth 6.0\n"
+            "GB/s at 4 compact cores vs 59.7 GB/s at 4 spread cores in the\n"
+            "same minute, while a pure-ALU loop scales 4.02× compact), and\n"
+            "cpu0 hosting IRQ/system load (as low as 0.27 GB/s streaming).\n"
+            "A real 4N-executor cluster gives each executor its own memory\n"
+            "channels — compact pinning would measure that sandbox artifact,\n"
+            "not the engine. AQE is off for the pipeline (its per-shuffle\n"
+            "re-planning is serial driver latency; the pipeline has explicit\n"
+            "skew defenses).\n"
             f"Fixed protocol (VERDICT r3 item 1): {reps} interleaved rounds, legs\n"
             "back-to-back per round so both levels share each jitter window;\n"
             "estimator = best run per level among legs NOT flagged for\n"

@@ -90,3 +90,15 @@ def test_other_level_pairs_respect_factor():
     est = estimate(runs, [2, 8])
     assert est["factor"] == 4
     assert est["eff"] == pytest.approx(0.9)
+
+
+def test_spread_cpuset_never_compact_never_cpu0():
+    # spread pinning: stride 32/k starting at cpu1 — adjacent vCPUs share a
+    # memory path on this VM and cpu0 hosts IRQ/system load (host_probe.py)
+    assert scaling_evidence.spread_cpuset(1) == "1"
+    assert scaling_evidence.spread_cpuset(4) == "1,9,17,25"
+    cpus = [int(c) for c in scaling_evidence.spread_cpuset(8).split(",")]
+    assert 0 not in cpus
+    assert len(set(cpus)) == 8
+    # uniform stride — no two pins adjacent
+    assert min(b - a for a, b in zip(cpus, cpus[1:])) >= 2
