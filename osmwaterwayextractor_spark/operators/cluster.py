@@ -76,6 +76,39 @@ def _ring_cells_expr(lat_col: str, lon_col: str, level: int):
     return F.array_distinct(F.array(*cells))
 
 
+def _ring_cells_of_cell_expr(cell_col: str, level: int):
+    """3×3 neighborhood of a NORMALIZED cell id (decode → offset with lon
+    wrap / lat clamp → re-encode). Equivalent to ``_ring_cells_expr`` on any
+    point inside the cell: both reduce to cell adjacency in normalized
+    (wrapped/clamped) grid space."""
+    nx = 2 << level
+    ny = 1 << level
+    pay = F.col(cell_col) - F.lit(level).cast("long") * F.lit(1 << 52).cast("long")
+    x = F.shiftright(pay, int(X_SHIFT))
+    y = pay - F.shiftleft(F.shiftright(pay, int(X_SHIFT)), int(X_SHIFT))
+    cells = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            xx = (x + dx + nx) % nx
+            yy = F.greatest(
+                F.lit(0).cast("long"), F.least(F.lit(ny - 1).cast("long"), y + dy)
+            )
+            cells.append(
+                F.lit(level).cast("long") * F.lit(1 << 52).cast("long")
+                + F.shiftleft(xx, int(X_SHIFT))
+                + yy
+            )
+    return F.array_distinct(F.array(*cells))
+
+
+# hot-block broadcast guard: the set of blocks with >=2 points in their 3x3
+# neighborhood is bounded by the epsilon-pair population (the same quantity
+# the mapping localCheckpoint already assumes is executor-memory small), but
+# at 10^12-doc scale a pathological corpus could blow it up — past this many
+# blocks the prune falls back to a shuffle semi-join instead of a broadcast.
+HOT_BLOCK_BROADCAST_MAX = 20_000_000
+
+
 def _geodesic_udf():
     @pandas_udf("double")
     def _g(lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series) -> pd.Series:
@@ -210,10 +243,37 @@ def _snap_map_blocks(
     halo_m = 2.0 * r_disp + 2.0 * tol
     level = join_grid_level(halo_m, max_abs_lat)
 
-    replicated = points.select(
+    # Hot-block prune: a point can belong to an ε-pair only if some OTHER
+    # point lies within tol, and any such point's home cell is adjacent
+    # (±1, wrapped/clamped) to its own — i.e. inside its home's 3×3
+    # neighborhood. So only points whose home block sees ≥2 points in that
+    # neighborhood ("hot") need the 9× ring replication + block sort at
+    # all; the rest provably join no cluster and are absent from the
+    # mapping (identical output — the downstream left join defaults them
+    # to identity). On sparse geometry this cuts the kernel's shuffle from
+    # 9·|P| full rows to 9·|hot| — the dominant cost of the clustering
+    # stage (measured 71 s of a 496 s 100k-doc pipeline leg at 4 CPUs).
+    # Cost: two map-combinable aggs over tiny (long, long) rows.
+    home_pts = points.select("lat", "lon", _cell_expr("lat", "lon", level).alias("home"))
+    occ = home_pts.groupBy("home").agg(F.count("*").alias("cnt"))
+    nbh = (
+        occ.select(F.explode(_ring_cells_of_cell_expr("home", level)).alias("block"), "cnt")
+        .groupBy("block")
+        .agg(F.sum("cnt").alias("nbh_cnt"))
+    )
+    hot_blocks = (
+        nbh.where(F.col("nbh_cnt") >= 2)
+        .select(F.col("block").alias("home"))
+        .localCheckpoint(eager=True)  # tiny; reused by the count + the join
+    )
+    if hot_blocks.count() <= HOT_BLOCK_BROADCAST_MAX:
+        hot_blocks = F.broadcast(hot_blocks)
+    hot = home_pts.join(hot_blocks, "home", "leftsemi")
+
+    replicated = hot.select(
         "lat",
         "lon",
-        _cell_expr("lat", "lon", level).alias("home"),
+        F.col("home"),
         F.explode(_ring_cells_expr("lat", "lon", level)).alias("block"),
     )
 

@@ -139,6 +139,151 @@ def _resplit_dense_cells(
     return keep.unionByName(deep)
 
 
+def _intersect_catalyst(pairs: DataFrame) -> DataFrame:
+    """Exact segment-pair intersection test as PURE Catalyst expressions —
+    the JVM-side twin of ``functions.geometry.segment_intersections``.
+
+    The candidate-pair table is the largest intermediate of the whole
+    pipeline (cell-join output is quadratic in per-cell density; measured
+    ~52% of the 100k-doc pipeline wall when every pair's 8 doubles round-
+    tripped Arrow→pandas→Arrow). The test itself is ~40 IEEE-double
+    ops/row, so it belongs inside whole-stage codegen, not in Python.
+
+    Bit-parity with the NumPy kernel holds because both sides execute the
+    SAME operation dag in the same order on IEEE-754 doubles (no FMA
+    fusion in either JVM codegen or NumPy ufuncs); comparisons that see
+    NaN (t/u of parallel pairs) are guarded by ``nonpar`` exactly like the
+    kernel's masks, so Spark's NaN-is-largest ordering never leaks into
+    ``hit``. Pinned by test_catalyst_intersect_matches_numpy_kernel.
+
+    Input columns: a_lat1..a_lon2, b_lat1..b_lon2 (+ passthrough).
+    Output: input columns + hit boolean, plat, plon.
+    """
+    inf = F.lit(float("inf"))
+    nan = F.lit(float("nan"))
+    d = pairs.select(
+        "*",
+        (F.col("a_lon2") - F.col("a_lon1")).alias("rx"),
+        (F.col("a_lat2") - F.col("a_lat1")).alias("ry"),
+        (F.col("b_lon2") - F.col("b_lon1")).alias("sx"),
+        (F.col("b_lat2") - F.col("b_lat1")).alias("sy"),
+        (F.col("b_lon1") - F.col("a_lon1")).alias("qpx"),
+        (F.col("b_lat1") - F.col("a_lat1")).alias("qpy"),
+    )
+    d = d.select(
+        "*",
+        (F.col("rx") * F.col("sy") - F.col("ry") * F.col("sx")).alias("denom"),
+        (F.col("rx") * F.col("rx") + F.col("ry") * F.col("ry")).alias("r_len_sq"),
+        F.sqrt(
+            (F.col("rx") * F.col("rx") + F.col("ry") * F.col("ry"))
+            * (F.col("sx") * F.col("sx") + F.col("sy") * F.col("sy"))
+        ).alias("scale"),
+    )
+    d = d.select(
+        "*",
+        (F.abs(F.col("denom")) > F.lit(1e-9) * F.col("scale")).alias("nonpar"),
+    )
+    d = d.select(
+        "*",
+        F.when(
+            F.col("nonpar"),
+            (F.col("qpx") * F.col("sy") - F.col("qpy") * F.col("sx")) / F.col("denom"),
+        )
+        .otherwise(nan)
+        .alias("t0"),
+        F.when(
+            F.col("nonpar"),
+            (F.col("qpx") * F.col("ry") - F.col("qpy") * F.col("rx")) / F.col("denom"),
+        )
+        .otherwise(nan)
+        .alias("u0"),
+        # collinear single-point touch: project B's endpoints onto A
+        (
+            F.abs(F.col("qpx") * F.col("ry") - F.col("qpy") * F.col("rx"))
+            / F.when(F.col("r_len_sq") > 0, F.sqrt(F.col("r_len_sq"))).otherwise(F.lit(1.0))
+        ).alias("lateral"),
+        F.when(
+            F.col("r_len_sq") > 0,
+            (F.col("qpx") * F.col("rx") + F.col("qpy") * F.col("ry")) / F.col("r_len_sq"),
+        )
+        .otherwise(inf)
+        .alias("tb1"),
+        F.when(
+            F.col("r_len_sq") > 0,
+            (
+                (F.col("b_lon2") - F.col("a_lon1")) * F.col("rx")
+                + (F.col("b_lat2") - F.col("a_lat1")) * F.col("ry")
+            )
+            / F.col("r_len_sq"),
+        )
+        .otherwise(inf)
+        .alias("tb2"),
+    )
+    clip01 = lambda c: F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))  # noqa: E731
+    d = d.select(
+        "*",
+        F.greatest(F.lit(0.0), F.least(F.col("tb1"), F.col("tb2"))).alias("lo"),
+        F.least(F.lit(1.0), F.greatest(F.col("tb1"), F.col("tb2"))).alias("hi"),
+    )
+    eps_t = F.lit(1e-9)
+    touch = (
+        (~F.col("nonpar"))
+        & (F.col("r_len_sq") > 0)
+        & (
+            F.col("lateral")
+            <= F.lit(1e-9) * F.greatest(F.sqrt(F.col("r_len_sq")), F.lit(1e-300))
+        )
+        & (F.col("hi") - F.col("lo") >= -eps_t)
+        & (F.col("hi") - F.col("lo") <= eps_t)
+    )
+    d = d.select("*", touch.alias("touch"))
+    t = F.when(
+        F.col("touch"), clip01((F.col("lo") + F.col("hi")) / F.lit(2.0))
+    ).otherwise(F.col("t0"))
+    u = F.when(
+        F.col("touch"),
+        F.when(
+            F.abs(F.col("tb1") - clip01(F.col("tb1")))
+            <= F.abs(F.col("tb2") - clip01(F.col("tb2"))),
+            F.lit(0.0),
+        ).otherwise(F.lit(1.0)),
+    ).otherwise(F.col("u0"))
+    d = d.select("*", t.alias("t"), u.alias("u"))
+    hit = (
+        F.col("nonpar")
+        & (F.col("t") >= 0.0)
+        & (F.col("t") <= 1.0)
+        & (F.col("u") >= 0.0)
+        & (F.col("u") <= 1.0)
+    ) | F.col("touch")
+    # interpolate, then snap exact endpoint touches to the input vertices
+    # (same override order as the kernel: t first, u takes precedence)
+    lat_i = (
+        F.when(F.col("t") == 0.0, F.col("a_lat1"))
+        .when(F.col("t") == 1.0, F.col("a_lat2"))
+        .otherwise(F.col("a_lat1") + F.col("t") * F.col("ry"))
+    )
+    lon_i = (
+        F.when(F.col("t") == 0.0, F.col("a_lon1"))
+        .when(F.col("t") == 1.0, F.col("a_lon2"))
+        .otherwise(F.col("a_lon1") + F.col("t") * F.col("rx"))
+    )
+    plat = (
+        F.when(F.col("u") == 0.0, F.col("b_lat1"))
+        .when(F.col("u") == 1.0, F.col("b_lat2"))
+        .otherwise(lat_i)
+    )
+    plon = (
+        F.when(F.col("u") == 0.0, F.col("b_lon1"))
+        .when(F.col("u") == 1.0, F.col("b_lon2"))
+        .otherwise(lon_i)
+    )
+    return d.select("*", hit.alias("hit"), plat.alias("plat"), plon.alias("plon")).drop(
+        "rx", "ry", "sx", "sy", "qpx", "qpy", "denom", "r_len_sq", "scale",
+        "nonpar", "t0", "u0", "lateral", "tb1", "tb2", "lo", "hi", "touch", "t", "u",
+    )
+
+
 def detect_intersections(
     ways: DataFrame, config: EngineConfig, keep_way_ids: bool = False
 ) -> DataFrame:
@@ -167,33 +312,12 @@ def detect_intersections(
     # distinct()ed below, so skipping a wide 8-double dedup shuffle here wins.
     pairs = a.join(b, "cell").where(F.col("way_a") < F.col("way_b")).drop("cell")
 
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("struct<hit:boolean, plat:double, plon:double>")
-    def _intersect(
-        a_lat1: pd.Series, a_lon1: pd.Series, a_lat2: pd.Series, a_lon2: pd.Series,
-        b_lat1: pd.Series, b_lon1: pd.Series, b_lat2: pd.Series, b_lon2: pd.Series,
-    ) -> pd.DataFrame:
-        a1 = np.stack([a_lat1.to_numpy(), a_lon1.to_numpy()], axis=1)
-        a2 = np.stack([a_lat2.to_numpy(), a_lon2.to_numpy()], axis=1)
-        b1 = np.stack([b_lat1.to_numpy(), b_lon1.to_numpy()], axis=1)
-        b2 = np.stack([b_lat2.to_numpy(), b_lon2.to_numpy()], axis=1)
-        hit, pts = segment_intersections(a1, a2, b1, b2)
-        return pd.DataFrame({"hit": hit, "plat": pts[:, 0], "plon": pts[:, 1]})
-
-    hits = pairs.select(
-        "way_a",
-        "way_b",
-        _intersect(
-            "a_lat1", "a_lon1", "a_lat2", "a_lon2",
-            "b_lat1", "b_lon1", "b_lat2", "b_lon2",
-        ).alias("r"),
-    ).where(F.col("r.hit"))
+    # exact test JVM-side (whole-stage codegen) — bit-identical twin of the
+    # NumPy segment_intersections kernel, which remains the oracle/test path
+    hits = _intersect_catalyst(pairs).where(F.col("hit"))
     if keep_way_ids:
-        return hits.select(
-            "way_a", "way_b", F.col("r.plat").alias("plat"), F.col("r.plon").alias("plon")
-        ).distinct()
-    return hits.select(F.col("r.plat").alias("plat"), F.col("r.plon").alias("plon")).distinct()
+        return hits.select("way_a", "way_b", "plat", "plon").distinct()
+    return hits.select("plat", "plon").distinct()
 
 
 def insert_intersections(

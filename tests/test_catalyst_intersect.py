@@ -1,0 +1,77 @@
+"""Bit-parity of the Catalyst segment-intersection expression vs the NumPy
+kernel (functions.geometry.segment_intersections).
+
+detect_intersections runs the exact test JVM-side (_intersect_catalyst) so
+the pipeline's largest intermediate — the candidate-pair table — never
+round-trips through Python. The NumPy kernel stays as the oracle; both must
+agree BIT-FOR-BIT (same IEEE-754 operation dag), including the adversarial
+branches: parallel, collinear-overlap (ignored), collinear single-point
+touch, endpoint-coincident hits, and degenerate zero-length segments.
+"""
+
+import numpy as np
+import pytest
+
+from osmwaterwayextractor_spark.functions.geometry import segment_intersections
+from osmwaterwayextractor_spark.operators.geometry_ops import _intersect_catalyst
+
+
+def _pairs():
+    rng = np.random.default_rng(7)
+    cases = []
+    # random segments in a tight box (many genuine crossings)
+    r = rng.uniform(-1.0, 1.0, size=(400, 8))
+    cases.append(r)
+    # exact-parallel pairs (shifted copies)
+    a = rng.uniform(-1.0, 1.0, size=(50, 4))
+    cases.append(np.hstack([a, a + np.array([0.1, 0.1, 0.1, 0.1])]))
+    # collinear overlap (must be ignored) and collinear touch (single point)
+    base = np.array([[0.0, 0.0, 0.0, 1.0]])
+    cases.append(np.hstack([base, np.array([[0.0, 0.5, 0.0, 1.5]])]))  # overlap
+    cases.append(np.hstack([base, np.array([[0.0, 1.0, 0.0, 2.0]])]))  # touch
+    # endpoint-coincident crossing (t==0 / u==1 snapping)
+    cases.append(np.array([[0.0, 0.0, 1.0, 1.0, 0.0, 0.0, -1.0, 1.0]]))
+    cases.append(np.array([[0.0, 0.0, 1.0, 1.0, -1.0, -1.0, 0.0, 0.0]]))
+    # zero-length segments
+    cases.append(np.array([[0.3, 0.3, 0.3, 0.3, -1.0, -1.0, 1.0, 1.0]]))
+    cases.append(np.array([[0.3, 0.3, 0.3, 0.3, 0.3, 0.3, 0.3, 0.3]]))
+    # near-parallel within the 1e-9 normalized-cross threshold
+    cases.append(
+        np.array([[0.0, 0.0, 1.0, 1.0, 0.0, 1e-12, 1.0, 1.0 + 2e-12]])
+    )
+    return np.vstack(cases)
+
+
+@pytest.mark.usefixtures("spark")
+def test_catalyst_intersect_matches_numpy_kernel(spark):
+    arr = _pairs()
+    cols = [
+        "a_lat1", "a_lon1", "a_lat2", "a_lon2",
+        "b_lat1", "b_lon1", "b_lat2", "b_lon2",
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(arr, columns=cols)
+    pdf["idx"] = np.arange(len(pdf))
+    out = (
+        _intersect_catalyst(spark.createDataFrame(pdf))
+        .select("idx", "hit", "plat", "plon")
+        .toPandas()
+        .sort_values("idx")
+        .reset_index(drop=True)
+    )
+
+    a1 = arr[:, [0, 1]]
+    a2 = arr[:, [2, 3]]
+    b1 = arr[:, [4, 5]]
+    b2 = arr[:, [6, 7]]
+    hit, pts = segment_intersections(a1, a2, b1, b2)
+
+    assert out["hit"].to_numpy().tolist() == hit.tolist()
+    got_lat = out["plat"].to_numpy()[hit]
+    got_lon = out["plon"].to_numpy()[hit]
+    # BIT-for-bit: same IEEE dag on both sides
+    np.testing.assert_array_equal(got_lat, pts[hit, 0])
+    np.testing.assert_array_equal(got_lon, pts[hit, 1])
+    # sanity: the case mix actually exercises hits and non-hits
+    assert 0 < hit.sum() < len(hit)
