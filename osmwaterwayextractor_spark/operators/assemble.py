@@ -117,3 +117,95 @@ def assemble_geometries(
         .select("way_id", "lats", "lons")
     )
     return geoms.join(ways.select("way_id", "tags"), "way_id", "inner")
+
+
+def assemble_clean_simplify(
+    ways: DataFrame, nodes: DataFrame, config: EngineConfig
+) -> DataFrame:
+    """Fused J1 + P2-P4 + F4: assembly, completeness filter, consecutive-dup
+    removal and DP simplification in ONE Arrow pass.
+
+    Semantically identical to
+    ``clean_and_simplify(assemble_geometries(ways, nodes, cfg), cfg)`` —
+    the standalone operators remain the oracle pair, pinned by
+    test_fused_assembly_matches_two_pass — but the assembled coordinate
+    arrays never round-trip JVM→Arrow→pandas→Arrow→JVM between the two
+    kernels. The 'simplified' stage is the second-largest of the pipeline
+    (measured 203 s of a 974 s 1-CPU 100k-doc leg), and its intermediate
+    is every vertex of every way; the fusion removes one full encode +
+    decode of that table. Tags join afterwards exactly as in
+    assemble_geometries (clean/simplify never reads tags)."""
+    from ..functions.geometry import M_TO_DEG
+    from .geometry_ops import clean_simplify_arrays
+
+    simplify_on = config.enable_geometry_simplification
+    tol = config.simplification_tolerance_m * M_TO_DEG
+
+    refs = ways.select(
+        "way_id",
+        F.size("refs").alias("n_refs"),
+        F.posexplode("refs").alias("pos", "node_id"),
+    )
+    resolved = refs.join(nodes, "node_id", "inner").select(
+        "way_id", "n_refs", "pos", "lat", "lon"
+    )
+    n_part = max(config.shuffle_partitions, 16)
+    ordered = resolved.repartition(n_part, "way_id").sortWithinPartitions("way_id", "pos")
+
+    def kernel(batches):
+        cur_id = None
+        cur_refs = 0
+        lat_parts: list[np.ndarray] = []
+        lon_parts: list[np.ndarray] = []
+
+        def to_pdf(out):
+            return pd.DataFrame(
+                {
+                    "way_id": pd.Series(out["way_id"], dtype="int64"),
+                    "lats": pd.Series(out["lats"], dtype=object),
+                    "lons": pd.Series(out["lons"], dtype=object),
+                }
+            )
+
+        def flush(out):
+            if cur_id is None:
+                return
+            la = np.concatenate(lat_parts) if len(lat_parts) > 1 else lat_parts[0]
+            lo = np.concatenate(lon_parts) if len(lon_parts) > 1 else lon_parts[0]
+            if la.shape[0] != cur_refs:  # partial way (missing refs)
+                return
+            r = clean_simplify_arrays(la, lo, simplify_on, tol)
+            if r is None:
+                return
+            out["way_id"].append(cur_id)
+            out["lats"].append(r[0])
+            out["lons"].append(r[1])
+
+        for pdf in batches:
+            out = {"way_id": [], "lats": [], "lons": []}
+            wid = pdf["way_id"].to_numpy()
+            la = pdf["lat"].to_numpy(dtype=np.float64)
+            lo = pdf["lon"].to_numpy(dtype=np.float64)
+            nr = pdf["n_refs"].to_numpy()
+            if wid.shape[0] == 0:
+                yield to_pdf(out)
+                continue
+            starts = np.concatenate([[0], np.nonzero(wid[1:] != wid[:-1])[0] + 1])
+            ends = np.concatenate([starts[1:], [wid.shape[0]]])
+            for s, e in zip(starts, ends):
+                w = int(wid[s])
+                if w != cur_id:
+                    flush(out)
+                    cur_id, cur_refs = w, int(nr[s])
+                    lat_parts, lon_parts = [], []
+                lat_parts.append(la[s:e])
+                lon_parts.append(lo[s:e])
+            yield to_pdf(out)
+        out = {"way_id": [], "lats": [], "lons": []}
+        flush(out)
+        yield to_pdf(out)
+
+    geoms = ordered.mapInPandas(
+        kernel, schema="way_id long, lats array<double>, lons array<double>"
+    )
+    return geoms.join(ways.select("way_id", "tags"), "way_id", "inner")

@@ -34,6 +34,26 @@ WAYS_SCHEMA = "way_id long, lats array<double>, lons array<double>, tags map<str
 INTERSECT_CELL_LEVEL = 14
 
 
+def clean_simplify_arrays(la, lo, simplify_on: bool, tol_deg: float):
+    """P2-P4 + F4 on one way's coordinate arrays: consecutive-dup removal,
+    optional DP simplify, <2-vertex drop. Returns (la, lo) or None when the
+    way drops. Shared by the standalone clean_and_simplify pass and the
+    fused assembly kernel (operators.assemble.assemble_clean_simplify)."""
+    if la.shape[0] < 2:
+        return None
+    same = (la[1:] == la[:-1]) & (lo[1:] == lo[:-1])
+    keep = np.concatenate([[True], ~same])
+    la, lo = la[keep], lo[keep]
+    if la.shape[0] < 2:
+        return None
+    if simplify_on:
+        mask = simplify_dp(la, lo, tol_deg)
+        la, lo = la[mask], lo[mask]
+        if la.shape[0] < 2:
+            return None
+    return la, lo
+
+
 def clean_and_simplify(ways: DataFrame, config: EngineConfig) -> DataFrame:
     """Consecutive-dup removal + optional DP simplify, one Arrow pass."""
     simplify_on = config.enable_geometry_simplification
@@ -45,24 +65,17 @@ def clean_and_simplify(ways: DataFrame, config: EngineConfig) -> DataFrame:
             for way_id, lats, lons, tags in zip(
                 pdf["way_id"], pdf["lats"], pdf["lons"], pdf["tags"]
             ):
-                la = np.asarray(lats, dtype=np.float64)
-                lo = np.asarray(lons, dtype=np.float64)
-                if la.shape[0] < 2:
+                r = clean_simplify_arrays(
+                    np.asarray(lats, dtype=np.float64),
+                    np.asarray(lons, dtype=np.float64),
+                    simplify_on,
+                    tol,
+                )
+                if r is None:
                     continue
-                # remove consecutive duplicates (vectorized)
-                same = (la[1:] == la[:-1]) & (lo[1:] == lo[:-1])
-                keep = np.concatenate([[True], ~same])
-                la, lo = la[keep], lo[keep]
-                if la.shape[0] < 2:
-                    continue
-                if simplify_on:
-                    mask = simplify_dp(la, lo, tol)
-                    la, lo = la[mask], lo[mask]
-                    if la.shape[0] < 2:
-                        continue
                 out_rows["way_id"].append(way_id)
-                out_rows["lats"].append(la)
-                out_rows["lons"].append(lo)
+                out_rows["lats"].append(r[0])
+                out_rows["lons"].append(r[1])
                 out_rows["tags"].append(tags)
             yield pd.DataFrame(out_rows)
 
@@ -294,23 +307,28 @@ def detect_intersections(
     covered = _with_cover_cells(segs, INTERSECT_CELL_LEVEL, 0.0)
     covered = _resplit_dense_cells(
         covered, INTERSECT_CELL_LEVEL, config.intersect_cell_cap, 0.0
-    )
-    a = covered.select(
-        F.col("cell"),
-        F.col("way_id").alias("way_a"),
-        F.col("lat1").alias("a_lat1"), F.col("lon1").alias("a_lon1"),
-        F.col("lat2").alias("a_lat2"), F.col("lon2").alias("a_lon2"),
-    )
-    b = covered.select(
-        F.col("cell"),
-        F.col("way_id").alias("way_b"),
-        F.col("lat1").alias("b_lat1"), F.col("lon1").alias("b_lon1"),
-        F.col("lat2").alias("b_lat2"), F.col("lon2").alias("b_lon2"),
-    )
+    ).select("cell", "way_id", "lat1", "lon1", "lat2", "lon2")
+    # TRUE self-join (identical projections on both sides) so Catalyst's
+    # ReusedExchange computes + shuffles the covered-segment lineage —
+    # including the resplit's per-cell count aggregation — ONCE instead of
+    # once per side; the aliases are applied AFTER the join. Pinned by
+    # test_detect_intersections_plan_reuses_exchange.
+    a, b = covered.alias("a"), covered.alias("b")
     # NOTE: pairs sharing several cover cells are tested more than once — the
     # exact kernel is cheap and vectorized, and the output points are
     # distinct()ed below, so skipping a wide 8-double dedup shuffle here wins.
-    pairs = a.join(b, "cell").where(F.col("way_a") < F.col("way_b")).drop("cell")
+    pairs = (
+        a.join(b, F.col("a.cell") == F.col("b.cell"))
+        .where(F.col("a.way_id") < F.col("b.way_id"))
+        .select(
+            F.col("a.way_id").alias("way_a"),
+            F.col("a.lat1").alias("a_lat1"), F.col("a.lon1").alias("a_lon1"),
+            F.col("a.lat2").alias("a_lat2"), F.col("a.lon2").alias("a_lon2"),
+            F.col("b.way_id").alias("way_b"),
+            F.col("b.lat1").alias("b_lat1"), F.col("b.lon1").alias("b_lon1"),
+            F.col("b.lat2").alias("b_lat2"), F.col("b.lon2").alias("b_lon2"),
+        )
+    )
 
     # exact test JVM-side (whole-stage codegen) — bit-identical twin of the
     # NumPy segment_intersections kernel, which remains the oracle/test path

@@ -19,7 +19,6 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config import EngineConfig
-from ..operators.assemble import assemble_geometries
 from ..operators.cluster import snap_map
 from ..operators.edges import (
     build_edges,
@@ -187,15 +186,20 @@ class WaterwayEngine:
 
             nodes_raw = self._stage("parsed", parse_nodes(docs, cfg))
             assembled = assemble_local_first(docs, nodes_raw, cfg)
+            simplified = self._stage("simplified", clean_and_simplify(assembled, cfg))
         else:
+            from ..operators.assemble import assemble_clean_simplify
             from ..sources.parse import nodes_from_parsed, parse_osm, ways_from_parsed
 
             parsed = self._stage("parsed", parse_osm(docs, cfg))
-            assembled = assemble_geometries(
-                ways_from_parsed(parsed, cfg), nodes_from_parsed(parsed), cfg
+            # assembly + clean + simplify as ONE Arrow pass: the assembled
+            # vertex arrays never round-trip JVM↔Python between kernels
+            simplified = self._stage(
+                "simplified",
+                assemble_clean_simplify(
+                    ways_from_parsed(parsed, cfg), nodes_from_parsed(parsed), cfg
+                ),
             )
-        # clean+simplify is a narrow Arrow pass — fused into the assembly job
-        simplified = self._stage("simplified", clean_and_simplify(assembled, cfg))
 
         if cfg.enable_intersection_detection:
             # detect feeds insert lazily: insert's left join passes ways with

@@ -75,3 +75,24 @@ def test_catalyst_intersect_matches_numpy_kernel(spark):
     np.testing.assert_array_equal(got_lon, pts[hit, 1])
     # sanity: the case mix actually exercises hits and non-hits
     assert 0 < hit.sum() < len(hit)
+
+
+def test_detect_intersections_plan_reuses_exchange(spark):
+    """The covered-segment lineage (explode + dense-cell resplit, including
+    a full shuffle aggregation) must be computed ONCE for the pair
+    self-join, not once per side: the physical plan must contain a
+    ReusedExchange node."""
+    from osmwaterwayextractor_spark.config import EngineConfig
+    from osmwaterwayextractor_spark.operators.geometry_ops import detect_intersections
+
+    ways = spark.createDataFrame(
+        [(1, [0.0, 1.0], [0.0, 1.0], {}), (2, [1.0, 0.0], [0.0, 1.0], {})],
+        "way_id long, lats array<double>, lons array<double>, tags map<string,string>",
+    )
+    df = detect_intersections(ways, EngineConfig())
+    # the two crossing diagonals still intersect at (0.5, 0.5); executing
+    # first also finalizes the AQE plan so reuse nodes are visible
+    rows = df.collect()
+    assert [(r["plat"], r["plon"]) for r in rows] == [(0.5, 0.5)]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert ("ReusedExchange" in plan) or ("ReusedQueryStage" in plan), plan
