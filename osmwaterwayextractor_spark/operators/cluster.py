@@ -252,21 +252,29 @@ def _snap_map_blocks(
     halo_m = 2.0 * r_disp + 2.0 * tol
     level = join_grid_level(halo_m, max_abs_lat)
 
-    # Hot-block prune: a point can belong to an ε-pair only if some OTHER
-    # point lies within tol, and any such point's home cell is adjacent
-    # (±1, wrapped/clamped) to its own — i.e. inside its home's 3×3
-    # neighborhood. So only points whose home block sees ≥2 points in that
-    # neighborhood ("hot") need the 9× ring replication + block sort at
-    # all; the rest provably join no cluster and are absent from the
-    # mapping (identical output — the downstream left join defaults them
-    # to identity). On sparse geometry this cuts the kernel's shuffle from
-    # 9·|P| full rows to 9·|hot| — the dominant cost of the clustering
-    # stage (measured 71 s of a 496 s 100k-doc pipeline leg at 4 CPUs).
+    # Hot-point prune AT TOLERANCE RESOLUTION: a point can belong to an
+    # ε-pair only if some OTHER point lies within tol, and any such point's
+    # cell AT A GRID WHOSE EDGE ≥ tol is adjacent (±1, wrapped/clamped) to
+    # its own. Pruning at the coarse BLOCK grid (edge ≥ 2·r_disp + 2·tol,
+    # several× tol) barely prunes — on the 100k-doc corpus it kept 730k hot
+    # blocks and the kernel's per-block Python loop still dominated
+    # (77 s of a 380 s 4-CPU leg). At the tol-level grid, "some other point
+    # in my 3×3" approximates the actual ε-pair population, so the 9× ring
+    # replication + block sort + per-block kernel only ever see genuine
+    # cluster candidates; every pruned point provably joins no cluster and
+    # the downstream left join defaults it to identity (identical output).
     # Cost: two map-combinable aggs over tiny (long, long) rows.
-    home_pts = points.select("lat", "lon", _cell_expr("lat", "lon", level).alias("home"))
+    prune_level = join_grid_level(tol, max_abs_lat)
+    home_pts = points.select(
+        "lat",
+        "lon",
+        _cell_expr("lat", "lon", prune_level).alias("home"),
+    )
     occ = home_pts.groupBy("home").agg(F.count("*").alias("cnt"))
     nbh = (
-        occ.select(F.explode(_ring_cells_of_cell_expr("home", level)).alias("block"), "cnt")
+        occ.select(
+            F.explode(_ring_cells_of_cell_expr("home", prune_level)).alias("block"), "cnt"
+        )
         .groupBy("block")
         .agg(F.sum("cnt").alias("nbh_cnt"))
     )
@@ -287,12 +295,15 @@ def _snap_map_blocks(
         )
     if n_hot <= HOT_BLOCK_BROADCAST_MAX:
         hot_blocks = F.broadcast(hot_blocks)
-    hot = home_pts.join(hot_blocks, "home", "leftsemi")
+    hot = home_pts.join(hot_blocks, "home", "leftsemi").drop("home")
 
+    # replication + cluster ownership stay at the BLOCK grid (edge ≥
+    # D + 2·tol — the completeness proof's level); the prune level above is
+    # only a point filter
     replicated = hot.select(
         "lat",
         "lon",
-        F.col("home"),
+        _cell_expr("lat", "lon", level).alias("home"),
         F.explode(_ring_cells_expr("lat", "lon", level)).alias("block"),
     )
 

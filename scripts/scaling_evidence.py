@@ -175,6 +175,31 @@ def estimate(runs: dict[int, list[dict]], levels: list[int]) -> dict:
     }
 
 
+def pregenerate_docs(n_docs: int) -> str:
+    """Generate the deterministic docs parquet ONCE for the whole session
+    (unpinned, full cores — input prep is setup, not the measured job) and
+    share it across every leg via SPARK_GRAFT_DOCS_PATH. Cuts ~3-4 min of
+    per-leg generation wall from the session without touching what the
+    legs measure (the pipeline timer never included generation)."""
+    path = f"/dev/shm/osmwwe-scaling-docs-{n_docs}"
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from pyspark.sql import SparkSession\n"
+        "from osmwaterwayextractor_spark.sources.docsgen import DocsGenParams, docs_dataframe\n"
+        "spark = (SparkSession.builder.master('local[*]')"
+        ".config('spark.sql.shuffle.partitions','32')"
+        ".config('spark.ui.enabled','false')"
+        ".config('spark.driver.memory','16g').getOrCreate())\n"
+        "docs_dataframe(spark, %d, DocsGenParams(seed=42, mega_every=200, mega_refs=20000))"
+        ".write.mode('overwrite').parquet(%r)\n"
+        "spark.stop()\n" % (ROOT, n_docs, path)
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, capture_output=True)
+    return path
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_DOCS
@@ -182,6 +207,7 @@ def main() -> None:
     levels = [
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "1,4").split(",")
     ]
+    os.environ["SPARK_GRAFT_DOCS_PATH"] = pregenerate_docs(n_docs)
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     t_start = time.time()
     for i in range(reps):
@@ -224,6 +250,10 @@ def main() -> None:
 
     write_baseline_md(sf_dir, levels, factor, runs, results, eff, session)
     print(json.dumps(session))
+
+    import shutil
+
+    shutil.rmtree(os.environ["SPARK_GRAFT_DOCS_PATH"], ignore_errors=True)
 
 
 def write_baseline_md(sf_dir, levels, factor, runs, results, eff, session) -> None:
