@@ -29,9 +29,17 @@ from ..functions.tiling import LEVEL_SHIFT, X_SHIFT, cell_width_deg
 
 WAYS_SCHEMA = "way_id long, lats array<double>, lons array<double>, tags map<string,string>"
 
-# quad level for segment-pair candidate cells: 0.011° ≈ 1.2 km cells — a few
-# cells per typical river segment, fine enough to bound per-cell fan-out
-INTERSECT_CELL_LEVEL = 14
+# Quad level for segment-pair candidate cells: 0.0027° ≈ 300 m cells.
+# The cell self-join's inner loop iterates sum(n_cell²) row combinations
+# (the way_a<way_b condition filters AFTER generation), so the level trades
+# that quadratic term against linearly more exploded cover rows. Measured on
+# the 100k-doc corpus (8.4M segments): level 14 → 1726M combos / 9.1M rows;
+# 16 → 487M / 12.1M; 17 → 283M / 18M; 18 → 201M / 36M. Level 16 minimizes
+# wall time — the combo stream is the pipeline's largest intermediate and
+# was the one stage whose cost didn't drop with more cores at level 14.
+# Correctness is level-independent: two intersecting segments always share
+# the cell containing their intersection point (see detect_intersections).
+INTERSECT_CELL_LEVEL = 16
 
 
 def clean_simplify_arrays(la, lo, simplify_on: bool, tol_deg: float):

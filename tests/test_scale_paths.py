@@ -20,14 +20,26 @@ WAYS_SCHEMA = "way_id long, lats array<double>, lons array<double>, tags map<str
 
 
 def _dense_ways(spark, n_parallel=300):
-    """n parallel segments + one crossing way, all inside ONE level-14 cell
-    (~0.011°): the pathological hot cell for the segment self-join."""
+    """n parallel segments + one crossing way, all inside ONE cell at
+    INTERSECT_CELL_LEVEL (whatever its width): the pathological hot cell for
+    the segment self-join. Anchored to the actual cell grid so the fixture
+    stays a single-cell hotspot if the level constant is retuned."""
+    from osmwaterwayextractor_spark.functions.tiling import cell_width_deg
+
+    w = cell_width_deg(INTERSECT_CELL_LEVEL)
+    # lower-left corner of the cell containing (50.002, 13.002), inset 10%
+    lat0 = (int((50.002 + 90.0) / w) * w - 90.0) + 0.1 * w
+    lon0 = (int((13.002 + 180.0) / w) * w - 180.0) + 0.1 * w
+    dlat = (0.8 * w) / n_parallel  # all parallels inside this one cell
     rows = []
     for i in range(n_parallel):
-        lat = 50.002 + i * 1.0e-5
-        rows.append((i, [lat, lat], [13.0020, 13.0025], {"waterway": "river"}))
+        lat = lat0 + i * dlat
+        rows.append((i, [lat, lat], [lon0, lon0 + 0.5 * w], {"waterway": "river"}))
     # vertical crossing way through all parallels
-    rows.append((10_000, [50.0015, 50.0060], [13.00225, 13.00225], {"waterway": "river"}))
+    rows.append(
+        (10_000, [lat0 - 0.5 * w, lat0 + 1.5 * w], [lon0 + 0.25 * w, lon0 + 0.25 * w],
+         {"waterway": "river"}),
+    )
     return spark.createDataFrame(rows, WAYS_SCHEMA)
 
 
