@@ -107,6 +107,26 @@ def spread_cpuset(cpus: int) -> str:
 _N_CPUS = os.cpu_count() or 32
 
 
+def _membw_probe(cpuset: str, seconds: float = 3.0) -> float:
+    """Aggregate streaming bandwidth (GB/s) of the leg's own cpuset, via
+    host_probe's membw worker (one pinned 256-MiB copy loop per cpu).
+
+    Recorded ADJACENT to each leg (3 s, before the leg starts — never
+    concurrent) purely as a host-capability diagnostic: this VM's
+    whole-host bandwidth QoS swings >2× on minute scale while /proc/stat
+    steal reads ~0%, so steal alone cannot tell 'the engine stopped
+    scaling' from 'the hypervisor stopped providing bandwidth to multi-core
+    legs'. The probe makes that distinction falsifiable in the session
+    record. It does NOT feed the pass/fail estimator."""
+    from host_probe import _run_leg  # same directory
+
+    try:
+        cpu_list = [int(c) for c in cpuset.split(",")]
+        return round(_run_leg("membw", cpu_list, seconds) / 1e9, 2)
+    except Exception:
+        return -1.0
+
+
 def one_level(cpus: int, n_docs: int) -> dict:
     env = dict(os.environ)
     env.update(
@@ -115,9 +135,11 @@ def one_level(cpus: int, n_docs: int) -> dict:
             "SPARK_GRAFT_DOCS": str(n_docs),
             "SPARK_GRAFT_BENCH_MODE": "pipeline",
             "SPARK_GRAFT_BENCH_REPS": "1",  # session-level interleaving below
+            "OSMWWE_STAGE_TIMING": "1",  # per-stage walls into the session log
         }
     )
     cpuset = os.environ.get(f"SPARK_GRAFT_SCALING_CPUSET_{cpus}") or spread_cpuset(cpus)
+    membw = _membw_probe(cpuset)
     cmd = ["taskset", "-c", cpuset, sys.executable, os.path.join(ROOT, "bench.py")]
     s0, t0 = _read_cpu_ticks()
     out = subprocess.run(cmd, env=env, capture_output=True, text=True)
@@ -131,6 +153,17 @@ def one_level(cpus: int, n_docs: int) -> dict:
     r["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
     r["interference"] = r["steal_pct"] > STEAL_FLAG_PCT
     r["cpuset"] = cpuset
+    r["membw_gbps"] = membw
+    import re
+
+    r["stages"] = {
+        m.group(1).strip(): float(m.group(2))
+        for ln in out.stdout.splitlines()
+        if ln.startswith(("[stage]", "[snap]"))
+        and (m := re.match(r"\[(?:stage|snap)\] ([^:]+): ([0-9.]+)s", ln))
+    }
+    for name, sec in r["stages"].items():
+        print(f"    [leg cpus={cpus}] {name}: {sec:.2f}s", flush=True)
     return r
 
 
