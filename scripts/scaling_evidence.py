@@ -270,6 +270,15 @@ def main() -> None:
         "steal_pct_runs": {
             str(c): [r["steal_pct"] for r in runs[c]] for c in levels
         },
+        # host-capability diagnostic, leg-adjacent (see _membw_probe): what
+        # streaming bandwidth the leg's own cpuset could get right before it
+        # ran. Does NOT feed the estimator.
+        "membw_gbps_runs": {
+            str(c): [r.get("membw_gbps", -1.0) for r in runs[c]] for c in levels
+        },
+        "stage_walls": {
+            str(c): [r.get("stages", {}) for r in runs[c]] for c in levels
+        },
         "edges_per_sec_best": [round(t, 1) for t in thr],
         "paired_efficiencies": paired,
         "scaling_efficiency": round(eff, 4),
@@ -337,7 +346,20 @@ def write_baseline_md(sf_dir, levels, factor, runs, results, eff, session) -> No
                 f"{c} cpus → "
                 f"{[(round(r['edges_per_sec'], 1), r.get('steal_pct')) for r in runs[c]]}  "
             )
-        f.write(f"\nPer-round paired efficiencies: {session['paired_efficiencies']}\n\n")
+        f.write(f"\nPer-round paired efficiencies: {session['paired_efficiencies']}\n")
+        if "membw_gbps_runs" in session:
+            f.write(
+                "Leg-adjacent host membw probe (GB/s aggregate on the leg's own "
+                "cpuset, 3 s before each leg; diagnostic only — the VM's "
+                "bandwidth QoS swings >2x on minute scale while steal reads "
+                "~0%, so this records whether the host could physically "
+                "express a 4x-resources upper leg during the window): "
+                + "  ".join(
+                    f"{c} cpus → {session['membw_gbps_runs'][str(c)]}" for c in levels
+                )
+                + "\n"
+            )
+        f.write("\n")
         if session.get("interference_invalidated"):
             f.write(
                 "**SESSION INTERFERENCE-INVALIDATED** — every leg of at least "
