@@ -305,17 +305,45 @@ def _intersect_catalyst(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _covered_for_join(ways: DataFrame, config: EngineConfig) -> DataFrame:
+    """The covered-segment table every intersect join consumes: pad-0 bbox
+    cover + dense-cell resplit, fixed projection. detect_intersections'
+    self-join uses it for BOTH sides and insert_intersections joins points
+    against it — all three build this exact subtree, so Catalyst's
+    ReuseExchange computes and shuffles it ONCE per action (pinned by
+    test_detect_intersections_plan_reuses_exchange)."""
+    segs = _segments(ways)
+    covered = _with_cover_cells(segs, INTERSECT_CELL_LEVEL, 0.0)
+    return _resplit_dense_cells(
+        covered, INTERSECT_CELL_LEVEL, config.intersect_cell_cap, 0.0
+    ).select("cell", "way_id", "lat1", "lon1", "lat2", "lon2")
+
+
+def _point_ring_cells(lat_col: str, lon_col: str, level: int):
+    """3×3 ring of level-``level`` cells around a point, same bit packing as
+    ``_with_cover_cells``. No lon-wrap/lat-clamp: out-of-range neighbors
+    yield cell ids the cover table never contains (the padded-bbox cover
+    this replaces did not wrap either), so they are harmless no-matches."""
+    w = cell_width_deg(level)
+    x = F.floor((F.col(lon_col) + 180.0) / w).cast("long")
+    y = F.floor((F.col(lat_col) + 90.0) / w).cast("long")
+    base = F.lit(level).cast("long") * F.lit(1 << 52).cast("long")
+    return F.array(
+        *[
+            base + F.shiftleft(x + dx, int(X_SHIFT)) + (y + dy)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+
+
 def detect_intersections(
     ways: DataFrame, config: EngineConfig, keep_way_ids: bool = False
 ) -> DataFrame:
     """→ DataFrame(plat double, plon double): distinct intersection points.
     With ``keep_way_ids`` also returns (way_a, way_b) per point — used by the
     QA crossing-edges check to attribute unsplit crossings to edges."""
-    segs = _segments(ways)
-    covered = _with_cover_cells(segs, INTERSECT_CELL_LEVEL, 0.0)
-    covered = _resplit_dense_cells(
-        covered, INTERSECT_CELL_LEVEL, config.intersect_cell_cap, 0.0
-    ).select("cell", "way_id", "lat1", "lon1", "lat2", "lon2")
+    covered = _covered_for_join(ways, config)
     # TRUE self-join (identical projections on both sides) so Catalyst's
     # ReusedExchange computes + shuffles the covered-segment lineage —
     # including the resplit's per-cell count aggregation — ONCE instead of
@@ -349,26 +377,61 @@ def detect_intersections(
 def insert_intersections(
     ways: DataFrame, points: DataFrame, config: EngineConfig
 ) -> DataFrame:
-    """Insert candidate points (within snap-tolerance degrees) into each way."""
+    """Insert candidate points (within snap-tolerance degrees) into each way.
+
+    Candidate (way, point) matching reuses THE SAME covered-segment table the
+    detect self-join shuffles (identical subtree, identical join key → one
+    ReusedExchange serves all three consumers) instead of re-exploding every
+    segment with a tol-padded bbox cover. The points side explodes to its
+    3×3 cell ring at each cover level present (base + resplit-deep).
+
+    Candidate-superset proof: a point P within tol of a way has an on-way
+    point Q with |P−Q|∞ ≤ tol_deg. Q lies inside the way's bbox, so Q's cell
+    is in the way's pad-0 cover at whichever level the way's rows carry
+    (base everywhere; deep inside formerly-dense parents). tol_deg ≤ the
+    cell width at every level used, so Q's cell is in P's 3×3 ring at that
+    level. Extreme snap-tolerance configs where tol exceeds the deep-level
+    cell width fall back to the original padded-cover join (same output:
+    insert_points_on_line drops any candidate farther than tol anyway).
+    """
     tol_deg = config.snap_tolerance_m * M_TO_DEG
     precision = config.coordinate_precision
 
-    segs = _segments(ways)
-    covered = _with_cover_cells(segs, INTERSECT_CELL_LEVEL, tol_deg).select("cell", "way_id")
-    w = cell_width_deg(INTERSECT_CELL_LEVEL)
-    pts_cells = points.select(
-        "plat",
-        "plon",
-        (
-            F.lit(INTERSECT_CELL_LEVEL).cast("long") * F.lit(1 << 52).cast("long")
-            + F.shiftleft(F.floor((F.col("plon") + 180.0) / w).cast("long"), int(X_SHIFT))
-            + F.floor((F.col("plat") + 90.0) / w).cast("long")
-        ).alias("cell"),
-    )
+    deep_level = INTERSECT_CELL_LEVEL + DENSE_CELL_SPLIT_LEVELS
+    if tol_deg <= cell_width_deg(deep_level):
+        covered = _covered_for_join(ways, config)
+        rings = points.select(
+            "plat",
+            "plon",
+            F.explode(
+                F.concat(
+                    _point_ring_cells("plat", "plon", INTERSECT_CELL_LEVEL),
+                    _point_ring_cells("plat", "plon", deep_level),
+                )
+            ).alias("cell"),
+        )
+        matched = covered.join(rings, "cell").select("way_id", "plat", "plon")
+    else:
+        segs = _segments(ways)
+        covered_pad = _with_cover_cells(segs, INTERSECT_CELL_LEVEL, tol_deg).select(
+            "cell", "way_id"
+        )
+        w = cell_width_deg(INTERSECT_CELL_LEVEL)
+        pts_cells = points.select(
+            "plat",
+            "plon",
+            (
+                F.lit(INTERSECT_CELL_LEVEL).cast("long") * F.lit(1 << 52).cast("long")
+                + F.shiftleft(
+                    F.floor((F.col("plon") + 180.0) / w).cast("long"), int(X_SHIFT)
+                )
+                + F.floor((F.col("plat") + 90.0) / w).cast("long")
+            ).alias("cell"),
+        )
+        matched = covered_pad.join(pts_cells, "cell").select("way_id", "plat", "plon")
+
     cand = (
-        covered.join(pts_cells, "cell")
-        .select("way_id", "plat", "plon")
-        .distinct()
+        matched.distinct()
         .groupBy("way_id")
         .agg(F.collect_list(F.struct("plat", "plon")).alias("cand_pts"))
     )

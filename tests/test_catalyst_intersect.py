@@ -96,3 +96,46 @@ def test_detect_intersections_plan_reuses_exchange(spark):
     assert [(r["plat"], r["plon"]) for r in rows] == [(0.5, 0.5)]
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert ("ReusedExchange" in plan) or ("ReusedQueryStage" in plan), plan
+
+
+def test_insert_intersections_reuses_detect_exchange(spark):
+    """The composed detect→insert plan (as the pipeline runs it) must serve
+    detect's self-join sides AND insert's point-candidate join from the SAME
+    covered-segment exchange: ≥2 reuse nodes, and exactly one occurrence of
+    the resplit's count aggregation lineage."""
+    from osmwaterwayextractor_spark.config import EngineConfig
+    from osmwaterwayextractor_spark.operators.geometry_ops import (
+        detect_intersections,
+        insert_intersections,
+    )
+
+    ways = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0], [0.0, 1.0], {}),
+            (2, [1.0, 0.0], [0.0, 1.0], {}),
+            (3, [0.25, 0.25], [0.0, 1.0], {}),
+        ],
+        "way_id long, lats array<double>, lons array<double>, tags map<string,string>",
+    )
+    cfg = EngineConfig()
+    out = insert_intersections(ways, detect_intersections(ways, cfg), cfg)
+    rows = {r["way_id"]: list(zip(r["lats"], r["lons"])) for r in out.collect()}
+    # way 1 gains the crossing point (0.5, 0.5); way 3 crosses way 1 at
+    # (0.25, 0.25) and way 2 at (0.25, 0.75)
+    assert (0.5, 0.5) in rows[1] and (0.5, 0.5) in rows[2]
+    assert len(rows[3]) == 4 and (0.25, 0.25) in rows[3] and (0.25, 0.75) in rows[3]
+    # Plan shape, pipeline config (AQE off, no auto-broadcast — how the
+    # scaling/bench legs run): detect's self-join sides AND insert's
+    # candidate join must all be served by ONE covered-segment exchange
+    # (2 ReusedExchange nodes). Under AQE with a small points side the
+    # candidate join may instead broadcast the rings (zero shuffle) — also
+    # acceptable; asserted shape is the non-broadcast one.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out2 = insert_intersections(ways, detect_intersections(ways, cfg), cfg)
+        plan = out2._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ReusedExchange") >= 2, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
