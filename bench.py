@@ -21,9 +21,46 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _read_cpu_ticks() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu line."""
+    parts = open("/proc/stat").readline().split()
+    vals = [int(x) for x in parts[1:]]
+    return vals[7], sum(vals)
+
+
+def host_probe_self(seconds: float = 2.0) -> dict:
+    """Leg-adjacent host-capability probe for THIS process's cpuset.
+
+    VERDICT r4 item 2: BENCH_r04-vs-r03 deltas were confounded by a host
+    change (same code, >2x intra-session swings). Recording the same 3-s
+    streaming-bandwidth probe the scaling legs use — on up to 4 cpus
+    sampled evenly from this process's affinity mask — plus hypervisor
+    steal around every rep makes round-over-round bench deltas
+    host-attributable at a glance. Diagnostic only; never feeds timings."""
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+        )
+        from host_probe import _run_leg
+
+        cpus = sorted(os.sched_getaffinity(0))
+        k = min(4, len(cpus))
+        sample = [cpus[i * len(cpus) // k] for i in range(k)]
+        agg = _run_leg("membw", sample, seconds) / 1e9
+        return {
+            "probe_cpus": sample,
+            "membw_gbps": round(agg, 2),
+            "membw_gbps_per_core": round(agg / k, 2),
+        }
+    except Exception:
+        return {"probe_cpus": [], "membw_gbps": -1.0, "membw_gbps_per_core": -1.0}
+
+
 def build_session(cpus: int):
     from osmwaterwayextractor_spark.plans.pipeline import spark_session
 
+    if os.environ.get("OSMWWE_EVENTLOG", "false") == "true":
+        os.makedirs("/tmp/spark-events", exist_ok=True)
     extra = {
         "spark.eventLog.enabled": os.environ.get("OSMWWE_EVENTLOG", "false"),
         "spark.eventLog.dir": "/tmp/spark-events",
@@ -99,7 +136,22 @@ def run_bench(
     # what this block would write).
     t0 = time.time()
     shared = os.environ.get("SPARK_GRAFT_DOCS_PATH", "")
-    if shared and os.path.isdir(shared):
+    # A stale SPARK_GRAFT_DOCS_PATH (e.g. left over from a scaling session at
+    # a different doc count) must not silently mislabel throughput (ADVICE
+    # r4): accept the shared parquet only if its row count matches the
+    # requested n_docs, else fall back to generating the right input.
+    if shared and not os.path.isdir(shared):
+        shared = ""
+    if shared:
+        shared_rows = spark.read.parquet(shared).count()
+        if shared_rows != n_docs:
+            print(
+                f"[bench] SPARK_GRAFT_DOCS_PATH has {shared_rows} docs, "
+                f"requested {n_docs} — regenerating",
+                file=sys.stderr,
+            )
+            shared = ""
+    if shared:
         docs_path, owned = shared, False
     else:
         docs_path = os.path.join(
@@ -153,12 +205,18 @@ def _run_bench_body(
     assert not set(query_names) & set(EQ.ORACLE_ONLY_QUERIES)
 
     n_edges = 0
+    host_reps: list[dict] = []
     t_body = time.time()
     for rep_i in range(max(1, reps)):
         # a budget bounds the big-anchor section so the driver bench can't
         # run away on a slow host: at least one rep always completes
         if rep_i > 0 and budget_sec and time.time() - t_body > budget_sec:
             break
+        # host-capability attribution per rep (VERDICT r4 item 2): probe
+        # runs BEFORE the rep's measured sections, never concurrent
+        hp = host_probe_self()
+        s0, tk0 = _read_cpu_ticks()
+        t_rep = time.time()
         t0 = time.time()
         g = WaterwayEngine(cfg).build_graph(docs, spark)
         # full-column materialization of the final edges table (cells +
@@ -188,6 +246,11 @@ def _run_bench_body(
             df.write.format("noop").mode("overwrite").save()
             record(name, time.time() - t0)
 
+        s1, tk1 = _read_cpu_ticks()
+        hp["steal_pct"] = round(100.0 * (s1 - s0) / max(tk1 - tk0, 1), 2)
+        hp["rep_wall_sec"] = round(time.time() - t_rep, 2)
+        host_reps.append(hp)
+
     best = {k: min(v) for k, v in runs.items()}
     pipeline_sec = best["waterway_pipeline"]
     return {
@@ -198,7 +261,88 @@ def _run_bench_body(
         "tile_assign_sec": best["tile_assign_rollup"],
         "timings": best,
         "runs": runs,
+        # per-rep host capability (membw probe on this cpuset + hypervisor
+        # steal over the rep) so cross-round deltas are attributable
+        "host_reps": host_reps,
     }
+
+
+def _stage_task_times(eventlog_path: str) -> dict[str, float]:
+    """Sum task run time (seconds) per stage NAME from a Spark event log.
+
+    Task time is host-independent in a way wall time is not (VERDICT r4
+    item 7): on a bandwidth-QoS'd VM wall swings >2x while the work done
+    per stage stays put, so a true engine regression shows up here even
+    when the host is noisy. Aggregating by stage name (callsite) makes the
+    keys comparable across runs of the same code."""
+    by_name: dict[str, float] = {}
+    id_to_name: dict[tuple[int, int], str] = {}
+    with open(eventlog_path) as f:
+        for line in f:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            kind = ev.get("Event")
+            if kind == "SparkListenerStageSubmitted":
+                si = ev["Stage Info"]
+                id_to_name[(si["Stage ID"], si["Stage Attempt ID"])] = si.get(
+                    "Stage Name", "?"
+                )
+            elif kind == "SparkListenerTaskEnd":
+                name = id_to_name.get((ev["Stage ID"], ev["Stage Attempt ID"]), "?")
+                tm = ev.get("Task Metrics") or {}
+                by_name[name] = by_name.get(name, 0.0) + tm.get(
+                    "Executor Run Time", 0
+                ) / 1e3
+    return by_name
+
+
+def stage_tripwire(app_id: str, reps_run: int) -> dict:
+    """Compare this anchor's per-stage task time against the committed
+    previous anchor's; persist the new profile for the next round.
+
+    Returns {} on any failure — the tripwire is a diagnostic, never a
+    reason for the bench to fail."""
+    try:
+        log_path = os.path.join("/tmp/spark-events", app_id)
+        if not os.path.exists(log_path):
+            return {}
+        cur_total = _stage_task_times(log_path)
+        reps = max(1, reps_run)
+        cur = {k: round(v / reps, 1) for k, v in cur_total.items()}
+        prev_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH",
+            "work",
+            "anchor_stage_times.json",
+        )
+        deltas = {}
+        if os.path.exists(prev_path):
+            prev = json.load(open(prev_path))
+            for name in sorted(
+                set(cur) | set(prev.get("stage_task_sec", {})),
+                key=lambda n: -max(
+                    cur.get(n, 0.0), prev.get("stage_task_sec", {}).get(n, 0.0)
+                ),
+            )[:15]:
+                deltas[name[:90]] = {
+                    "prev_sec": prev.get("stage_task_sec", {}).get(name),
+                    "cur_sec": cur.get(name),
+                }
+        os.makedirs(os.path.dirname(prev_path), exist_ok=True)
+        with open(prev_path, "w") as f:
+            json.dump(
+                {"app_id": app_id, "reps_run": reps, "stage_task_sec": cur}, f, indent=1
+            )
+        top = dict(sorted(cur.items(), key=lambda kv: -kv[1])[:15])
+        return {
+            "stage_task_sec_top": {k[:90]: v for k, v in top.items()},
+            "stage_task_sec_total": round(sum(cur.values()), 1),
+            "stage_deltas_vs_prev_anchor": deltas,
+        }
+    except Exception as e:
+        return {"stage_tripwire_error": str(e)[:200]}
 
 
 def main() -> None:
@@ -225,14 +369,27 @@ def main() -> None:
     anchor_docs = int(os.environ.get("SPARK_GRAFT_BENCH_ANCHOR_DOCS", "400000"))
     if os.environ.get("SPARK_GRAFT_BENCH_MODE") != "pipeline" and anchor_docs > 0:
         os.environ["SPARK_GRAFT_BENCH_MODE"] = "pipeline"
-        anchor_reps = int(os.environ.get("SPARK_GRAFT_BENCH_ANCHOR_REPS", "2"))
-        budget = float(os.environ.get("SPARK_GRAFT_BENCH_ANCHOR_BUDGET", "900"))
+        # VERDICT r4 item 5: the anchor is the primary round-over-round
+        # comparison point — ≥3 reps (the r4 2-rep anchor had a 35% spread)
+        # with per-rep host-capability probes attached.
+        anchor_reps = int(os.environ.get("SPARK_GRAFT_BENCH_ANCHOR_REPS", "3"))
+        budget = float(os.environ.get("SPARK_GRAFT_BENCH_ANCHOR_BUDGET", "2400"))
+        # event-log the anchor so per-stage task time (host-independent,
+        # unlike wall) can be diffed against the previous committed anchor
+        # (VERDICT r4 item 7)
+        prev_eventlog = os.environ.get("OSMWWE_EVENTLOG", "")
+        os.environ["OSMWWE_EVENTLOG"] = "true"
         spark2 = build_session(cpus)
+        app_id = spark2.sparkContext.applicationId
         try:
             a = run_bench(spark2, sf_dir, anchor_docs, anchor_reps, budget_sec=budget)
         finally:
             spark2.stop()
             os.environ["SPARK_GRAFT_BENCH_MODE"] = ""
+            if prev_eventlog:
+                os.environ["OSMWWE_EVENTLOG"] = prev_eventlog
+            else:
+                os.environ.pop("OSMWWE_EVENTLOG", None)
         anchor = {
             "n_docs": a["n_docs"],
             "cpus": cpus,
@@ -242,7 +399,9 @@ def main() -> None:
             "tile_assign_sec": round(a["tile_assign_sec"], 3),
             "reps_run": len(a["runs"]["waterway_pipeline"]),
             "runs": [round(x, 3) for x in a["runs"]["waterway_pipeline"]],
+            "host_reps": a.get("host_reps", []),
         }
+        anchor.update(stage_tripwire(app_id, anchor["reps_run"]))
 
     total = sum(res["timings"].values()) - res["timings"]["docs_generate"]
     out = {
@@ -259,6 +418,7 @@ def main() -> None:
         "tile_assign_sec": round(res["tile_assign_sec"], 3),
         "reps": reps,
         "runs": {k: [round(x, 3) for x in v] for k, v in res["runs"].items()},
+        "host_reps": res.get("host_reps", []),
     }
     if anchor is not None:
         out["anchor"] = anchor

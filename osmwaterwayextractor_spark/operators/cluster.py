@@ -106,7 +106,10 @@ def _ring_cells_of_cell_expr(cell_col: str, level: int):
 # the mapping localCheckpoint already assumes is executor-memory small), but
 # at 10^12-doc scale a pathological corpus could blow it up — past this many
 # blocks the prune falls back to a shuffle semi-join instead of a broadcast.
-HOT_BLOCK_BROADCAST_MAX = 20_000_000
+# 2M single-long rows ≈ 16 MB raw / low-hundreds-MB hashed relation: safe on
+# a DEFAULT driver/executor heap, not just the bench's 48g (ADVICE r4 — the
+# old 20M cap could build a multi-GB driver-side hashed relation).
+HOT_BLOCK_BROADCAST_MAX = 2_000_000
 
 
 def _geodesic_udf():

@@ -39,7 +39,6 @@ for level in (14, 15, 16, 17):
     # canonical cell: cell containing the lower-left corner of the bbox overlap
     # (level of the row's own cell — resplit rows live at level+3)
     lvl = (F.col("cell") / F.lit(1 << 52)).cast("long")
-    wd = F.pow(F.lit(2.0), -(F.lit(1.0)*lvl - 7)) * F.lit(45.0) / F.lit(32.0)  # placeholder, fixed below
     t0 = time.time()
     # compute canonical with exact per-level width via when() on the two levels present
     from osmwaterwayextractor_spark.operators.geometry_ops import DENSE_CELL_SPLIT_LEVELS

@@ -72,16 +72,16 @@ def test_sql_checked_query(spark, ddb, name):
     assert g == w, f"{name}: value mismatch"
 
 
-@pytest.mark.parametrize("name", [n for n in ROWS_ONLY if not n.startswith("waterway")])
-def test_rows_only_query_runs(spark, name):
-    df = entry_mod.queries()[name](spark, SF)
-    assert df.count() >= 0 and len(df.schema) > 0
-
-
-def test_waterway_queries_run(spark):
-    for name in [n for n in ROWS_ONLY if n.startswith("waterway")]:
-        df = entry_mod.queries()[name](spark, SF)
-        assert df.count() > 0, name
+def test_every_query_has_an_oracle():
+    """VERDICT r4 item 4: every queries() entry must ship a falsifiable
+    oracle twin (DuckDB SQL or committed golden). This replaced a
+    forever-skipping empty-parameter smoke test; it RE-ARMS — a future
+    query added without an oracle fails here instead of silently joining
+    a weaker rows-only check."""
+    assert ROWS_ONLY == [], (
+        f"queries without an oracle_sql()/golden twin: {ROWS_ONLY} — add a "
+        "DuckDB SQL oracle or a golden snapshot (scripts/make_goldens.py)"
+    )
 
 
 def test_knn_top1_plan_has_no_cartesian(spark):
