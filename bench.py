@@ -92,6 +92,24 @@ def build_session(cpus: int):
     )
 
 
+def shared_docs_usable(spark, shared: str, n_docs: int) -> bool:
+    """A stale SPARK_GRAFT_DOCS_PATH (e.g. left over from a scaling session
+    at a different doc count) must not silently mislabel throughput (ADVICE
+    r4): accept the shared parquet only if it exists AND its row count
+    matches the requested n_docs, else the caller regenerates."""
+    if not (shared and os.path.isdir(shared)):
+        return False
+    shared_rows = spark.read.parquet(shared).count()
+    if shared_rows != n_docs:
+        print(
+            f"[bench] SPARK_GRAFT_DOCS_PATH has {shared_rows} docs, "
+            f"requested {n_docs} — regenerating",
+            file=sys.stderr,
+        )
+        return False
+    return True
+
+
 def run_bench(
     spark, sf_dir: str, n_docs: int, reps: int, budget_sec: float | None = None
 ) -> dict:
@@ -136,22 +154,7 @@ def run_bench(
     # what this block would write).
     t0 = time.time()
     shared = os.environ.get("SPARK_GRAFT_DOCS_PATH", "")
-    # A stale SPARK_GRAFT_DOCS_PATH (e.g. left over from a scaling session at
-    # a different doc count) must not silently mislabel throughput (ADVICE
-    # r4): accept the shared parquet only if its row count matches the
-    # requested n_docs, else fall back to generating the right input.
-    if shared and not os.path.isdir(shared):
-        shared = ""
-    if shared:
-        shared_rows = spark.read.parquet(shared).count()
-        if shared_rows != n_docs:
-            print(
-                f"[bench] SPARK_GRAFT_DOCS_PATH has {shared_rows} docs, "
-                f"requested {n_docs} — regenerating",
-                file=sys.stderr,
-            )
-            shared = ""
-    if shared:
+    if shared_docs_usable(spark, shared, n_docs):
         docs_path, owned = shared, False
     else:
         docs_path = os.path.join(

@@ -164,3 +164,17 @@ def test_no_window_session_record_renders_in_history(tmp_path, monkeypatch):
     )
     text = (out_root / "BENCH" / "BASELINE.md").read_text()
     assert "NO-WINDOW" in text and "gate held closed 12 probes" in text
+
+
+# ---- bench.py shared-docs validation (ADVICE r4) ----
+
+
+def test_shared_docs_usable_validates_count(spark, tmp_path):
+    import bench
+
+    p = str(tmp_path / "docs")
+    spark.range(3).selectExpr("cast(id as string) doc_id").write.parquet(p)
+    assert bench.shared_docs_usable(spark, p, 3)
+    assert not bench.shared_docs_usable(spark, p, 5)  # stale path, wrong count
+    assert not bench.shared_docs_usable(spark, "", 3)
+    assert not bench.shared_docs_usable(spark, str(tmp_path / "missing"), 3)
