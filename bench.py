@@ -70,6 +70,13 @@ def build_session(cpus: int):
         # shuffle/spill on tmpfs: the sandbox's virtio disk has high and
         # variable latency that otherwise dominates small-stage wall time
         "spark.local.dir": "/dev/shm/spark-local",
+        # finer input splits: the pipeline's stage parquets are a handful of
+        # files; at the default 128MB the covered/ways scans collapse to
+        # 4-8 skewed tasks (mega-ways) that stall multi-core legs at ~0.2
+        # utilization (round-5 event-log audit). 32MB restores parallelism;
+        # measured on the composed intersections stage at 4 pinned CPUs:
+        # 103.7 → 88.5 s. On a real cluster this is a per-deployment knob.
+        "spark.sql.files.maxPartitionBytes": "32m",
     }
     if os.environ.get("SPARK_GRAFT_BENCH_MODE") == "pipeline":
         # AQE's per-shuffle re-planning is serial driver latency (~20% of

@@ -307,11 +307,20 @@ def _intersect_catalyst(pairs: DataFrame) -> DataFrame:
 
 def _covered_for_join(ways: DataFrame, config: EngineConfig) -> DataFrame:
     """The covered-segment table every intersect join consumes: pad-0 bbox
-    cover + dense-cell resplit, fixed projection. detect_intersections'
-    self-join uses it for BOTH sides and insert_intersections joins points
-    against it — all three build this exact subtree, so Catalyst's
-    ReuseExchange computes and shuffles it ONCE per action (pinned by
-    test_detect_intersections_plan_reuses_exchange)."""
+    cover + dense-cell resplit, fixed projection.
+
+    detect_intersections' self-join uses it for BOTH sides and
+    insert_intersections joins points against it. Within detect's self-join
+    Catalyst's ReuseExchange computes and shuffles the subtree ONCE (pinned
+    by test_detect_intersections_plan_reuses_exchange) — but ACROSS the
+    composed detect→insert plan, column pruning narrows insert's copy to
+    (cell, way_id), the exchange subtrees stop being identical, and the
+    whole scan+explode lineage runs AGAIN (measured round 5: a duplicate
+    52-CPU-s build at 100k docs, the single biggest avoidable cost of the
+    intersections stage). The pipeline therefore materializes this table
+    once per stage (WaterwayEngine._covered_stage) and passes it to both
+    operators via their ``covered=`` parameter; plan-level reuse remains
+    the fallback for standalone calls."""
     segs = _segments(ways)
     covered = _with_cover_cells(segs, INTERSECT_CELL_LEVEL, 0.0)
     return _resplit_dense_cells(
@@ -338,12 +347,19 @@ def _point_ring_cells(lat_col: str, lon_col: str, level: int):
 
 
 def detect_intersections(
-    ways: DataFrame, config: EngineConfig, keep_way_ids: bool = False
+    ways: DataFrame,
+    config: EngineConfig,
+    keep_way_ids: bool = False,
+    covered: DataFrame | None = None,
 ) -> DataFrame:
     """→ DataFrame(plat double, plon double): distinct intersection points.
     With ``keep_way_ids`` also returns (way_a, way_b) per point — used by the
-    QA crossing-edges check to attribute unsplit crossings to edges."""
-    covered = _covered_for_join(ways, config)
+    QA crossing-edges check to attribute unsplit crossings to edges.
+
+    ``covered`` optionally supplies a pre-materialized covered-segment
+    table (see _covered_for_join) shared with insert_intersections."""
+    if covered is None:
+        covered = _covered_for_join(ways, config)
     # TRUE self-join (identical projections on both sides) so Catalyst's
     # ReusedExchange computes + shuffles the covered-segment lineage —
     # including the resplit's per-cell count aggregation — ONCE instead of
@@ -375,15 +391,20 @@ def detect_intersections(
 
 
 def insert_intersections(
-    ways: DataFrame, points: DataFrame, config: EngineConfig
+    ways: DataFrame,
+    points: DataFrame,
+    config: EngineConfig,
+    covered: DataFrame | None = None,
 ) -> DataFrame:
     """Insert candidate points (within snap-tolerance degrees) into each way.
 
-    Candidate (way, point) matching reuses THE SAME covered-segment table the
-    detect self-join shuffles (identical subtree, identical join key → one
-    ReusedExchange serves all three consumers) instead of re-exploding every
-    segment with a tol-padded bbox cover. The points side explodes to its
-    3×3 cell ring at each cover level present (base + resplit-deep).
+    Candidate (way, point) matching consumes THE SAME covered-segment table
+    the detect self-join shuffles instead of re-exploding every segment
+    with a tol-padded bbox cover — pass it pre-materialized via ``covered``
+    (the pipeline does; without it, Catalyst's column pruning rebuilds the
+    scan+explode lineage for this join, see _covered_for_join). The points
+    side explodes to its 3×3 cell ring at each cover level present (base +
+    resplit-deep).
 
     Candidate-superset proof: a point P within tol of a way has an on-way
     point Q with |P−Q|∞ ≤ tol_deg. Q lies inside the way's bbox, so Q's cell
@@ -399,7 +420,8 @@ def insert_intersections(
 
     deep_level = INTERSECT_CELL_LEVEL + DENSE_CELL_SPLIT_LEVELS
     if tol_deg <= cell_width_deg(deep_level):
-        covered = _covered_for_join(ways, config)
+        if covered is None:
+            covered = _covered_for_join(ways, config)
         rings = points.select(
             "plat",
             "plon",

@@ -91,6 +91,14 @@ class Checkpointer:
     def _stage_dir(self, stage: str, config: EngineConfig) -> str:
         return os.path.join(self.root, f"{stage}_{config.step_param_hash(stage)}")
 
+    def is_complete(self, stage: str, config: EngineConfig) -> bool:
+        """True iff a resumable run would skip this stage (committed data
+        present). Lets the pipeline avoid eager side-work (e.g. the covered
+        scratch materialization) whose consumer stage will be resumed."""
+        return self.resume and os.path.exists(
+            os.path.join(self._stage_dir(stage, config), "data", "_SUCCESS")
+        )
+
     def materialize(self, stage: str, config: EngineConfig, df: DataFrame) -> DataFrame:
         sdir = self._stage_dir(stage, config)
         data_dir = os.path.join(sdir, "data")

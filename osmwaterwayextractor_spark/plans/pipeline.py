@@ -148,6 +148,28 @@ class WaterwayEngine:
         self._last_stage_path = path
         return spark.read.parquet(path)
 
+    def _covered_stage(self, simplified: DataFrame) -> DataFrame:
+        """Materialize the covered-segment table once for the intersections
+        stage (detect self-join sides + insert candidate join all scan it).
+
+        Ephemeral scratch, never the durable Checkpointer: this is an
+        exchange-grade internal artifact, not a resumable pipeline stage —
+        checkpointing it would change the stage manifest surface. Each
+        consumer's read is a pruned columnar scan (insert reads only
+        (cell, way_id)), which is exactly the reuse Catalyst's
+        ReusedExchange could not deliver across differently-pruned
+        subtrees."""
+        import os
+        import time
+
+        from ..operators.geometry_ops import _covered_for_join
+
+        t0 = time.time()
+        out = self._ephemeral_stage("covered", _covered_for_join(simplified, self.config))
+        if os.environ.get("OSMWWE_STAGE_TIMING"):
+            print(f"[stage] covered: {time.time() - t0:.2f}s", flush=True)
+        return out
+
     def _stages_concurrent(self, named: list[tuple[str, DataFrame]]) -> list[DataFrame]:
         """Materialize independent stages from concurrent driver threads so
         their Spark jobs overlap (the round-1 pipeline ran ~40 jobs strictly
@@ -204,10 +226,23 @@ class WaterwayEngine:
         if cfg.enable_intersection_detection:
             # detect feeds insert lazily: insert's left join passes ways with
             # no candidate points through untouched, so the empty-point case
-            # needs no isEmpty() driver probe — one materialization total
-            points = detect_intersections(simplified, cfg)
+            # needs no isEmpty() driver probe. The covered-segment table is
+            # materialized ONCE and fed to both operators: across the
+            # composed plan Catalyst's column pruning otherwise builds a
+            # second, narrower covered exchange and re-runs the whole
+            # scan+explode lineage (round-5 profile: duplicate 52-CPU-s
+            # build at 100k docs). Skipped when the intersections stage is
+            # already checkpoint-complete (resume must not recompute it).
+            covered = None
+            if not (
+                self.checkpointer is not None
+                and self.checkpointer.is_complete("intersections", cfg)
+            ):
+                covered = self._covered_stage(simplified)
+            points = detect_intersections(simplified, cfg, covered=covered)
             intersected = self._stage(
-                "intersections", insert_intersections(simplified, points, cfg)
+                "intersections",
+                insert_intersections(simplified, points, cfg, covered=covered),
             )
         else:
             intersected = simplified
