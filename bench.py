@@ -73,10 +73,13 @@ def build_session(cpus: int):
         # finer input splits: the pipeline's stage parquets are a handful of
         # files; at the default 128MB the covered/ways scans collapse to
         # 4-8 skewed tasks (mega-ways) that stall multi-core legs at ~0.2
-        # utilization (round-5 event-log audit). 32MB restores parallelism;
-        # measured on the composed intersections stage at 4 pinned CPUs:
-        # 103.7 → 88.5 s. On a real cluster this is a per-deployment knob.
-        "spark.sql.files.maxPartitionBytes": "32m",
+        # utilization (round-5 event-log audit). 32MB measured 103.7 → 88.5 s
+        # on the composed intersections stage at 4 pinned CPUs; a second
+        # event-log pass still showed 6-9-task stages at 0.26-0.39 util
+        # (one dense/mega-heavy split dominating a 3-wave stage), so splits
+        # tightened to 8MB to match the stages' 8MB row groups. On a real
+        # cluster this is a per-deployment knob.
+        "spark.sql.files.maxPartitionBytes": "8m",
     }
     if os.environ.get("SPARK_GRAFT_BENCH_MODE") == "pipeline":
         # AQE's per-shuffle re-planning is serial driver latency (~20% of
@@ -167,7 +170,11 @@ def run_bench(
         docs_path = os.path.join(
             spark.conf.get("spark.local.dir", "/tmp").split(",")[0], "bench-docs"
         )
-        docs_dataframe(spark, n_docs, params).write.mode("overwrite").parquet(docs_path)
+        # 16 MiB row groups: the parse scan then splits past the file count
+        # (same rationale as the pipeline's scratch-stage writes)
+        docs_dataframe(spark, n_docs, params).write.mode("overwrite").option(
+            "parquet.block.size", str(16 * 1024 * 1024)
+        ).parquet(docs_path)
         owned = True
     docs = spark.read.parquet(docs_path)
     n_spans = docs.select(F.sum(F.size("spans"))).collect()[0][0]

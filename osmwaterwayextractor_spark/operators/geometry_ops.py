@@ -321,10 +321,29 @@ def _covered_for_join(ways: DataFrame, config: EngineConfig) -> DataFrame:
     once per stage (WaterwayEngine._covered_stage) and passes it to both
     operators via their ``covered=`` parameter; plan-level reuse remains
     the fallback for standalone calls."""
+    return _covered_resplit(_covered_raw(ways), config)
+
+
+def _covered_raw(ways: DataFrame) -> DataFrame:
+    """Segments + base-level pad-0 cover, before the dense-cell resplit —
+    the scan+explode part of the covered lineage. Split out so the pipeline
+    can materialize it ONCE: _resplit_dense_cells consumes its input three
+    times (per-cell counts, the kept branch, the re-covered dense branch),
+    and when the input is this explode lineage all three consumers re-run
+    it (round-5 standalone profile at 100k docs, 1 pinned CPU: the
+    dense-counts pass alone was 12.2 s of the 51 s stage). From a parquet
+    round-trip the counts pass becomes a cell-column-pruned columnar scan."""
     segs = _segments(ways)
-    covered = _with_cover_cells(segs, INTERSECT_CELL_LEVEL, 0.0)
+    return _with_cover_cells(segs, INTERSECT_CELL_LEVEL, 0.0).select(
+        "cell", "way_id", "lat1", "lon1", "lat2", "lon2"
+    )
+
+
+def _covered_resplit(raw: DataFrame, config: EngineConfig) -> DataFrame:
+    """Dense-cell resplit + fixed projection over a (materialized or inline)
+    _covered_raw table."""
     return _resplit_dense_cells(
-        covered, INTERSECT_CELL_LEVEL, config.intersect_cell_cap, 0.0
+        raw, INTERSECT_CELL_LEVEL, config.intersect_cell_cap, 0.0
     ).select("cell", "way_id", "lat1", "lon1", "lat2", "lon2")
 
 

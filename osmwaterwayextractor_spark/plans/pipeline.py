@@ -144,7 +144,20 @@ class WaterwayEngine:
             # scratch may live on tmpfs (RAM): reclaim it at process exit
             atexit.register(shutil.rmtree, self._scratch, ignore_errors=True)
         path = os.path.join(self._scratch, name)
-        df.write.mode("overwrite").parquet(path)
+        # 8 MiB row groups: parquet scans split at row-group granularity, and
+        # a stage written from a 16-partition shuffle with skewed/empty
+        # partitions otherwise yields a handful of single-row-group files —
+        # downstream scans then run 6-9 tasks and idle most cores of a
+        # multi-core run in the last wave (round-5 event-log audit: stages
+        # with 6 tasks at 0.26 utilization). 8 MiB also lets a scan split
+        # mega-way row clusters (a 20k-vertex row is ~320 KB — a coarse row
+        # group packs enough of them that one split dominates the stage).
+        # Finer row groups cost ~nothing on scratch (snappy ratio unchanged
+        # at this size) and restore scan parallelism no matter how few files
+        # a stage produced.
+        df.write.mode("overwrite").option(
+            "parquet.block.size", str(8 * 1024 * 1024)
+        ).parquet(path)
         self._last_stage_path = path
         return spark.read.parquet(path)
 
@@ -158,14 +171,20 @@ class WaterwayEngine:
         consumer's read is a pruned columnar scan (insert reads only
         (cell, way_id)), which is exactly the reuse Catalyst's
         ReusedExchange could not deliver across differently-pruned
-        subtrees."""
+        subtrees.
+
+        Two materializations: the raw scan+explode cover lands first, so the
+        resplit's three consumers (per-cell counts, kept branch, re-covered
+        dense branch) each read a columnar scan instead of re-running the
+        explode lineage — the counts pass prunes to the cell column alone."""
         import os
         import time
 
-        from ..operators.geometry_ops import _covered_for_join
+        from ..operators.geometry_ops import _covered_raw, _covered_resplit
 
         t0 = time.time()
-        out = self._ephemeral_stage("covered", _covered_for_join(simplified, self.config))
+        raw = self._ephemeral_stage("covered_raw", _covered_raw(simplified))
+        out = self._ephemeral_stage("covered", _covered_resplit(raw, self.config))
         if os.environ.get("OSMWWE_STAGE_TIMING"):
             print(f"[stage] covered: {time.time() - t0:.2f}s", flush=True)
         return out
@@ -305,7 +324,14 @@ def spark_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # large Arrow batches amortize the per-batch Python costs of the
+        # mapInPandas kernels (parse joins each batch's span texts into one
+        # ndjson blob — 4096-row batches meant ~2.8k blob+reader setups per
+        # 100k docs); the BYTES cap (Spark 4.x) bounds worst-case batches on
+        # tables whose rows are 20k-vertex mega-way arrays, which is what the
+        # old conservative 4096-row cap was protecting against
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 * 1024 * 1024))
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )
