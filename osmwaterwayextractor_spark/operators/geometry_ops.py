@@ -401,6 +401,21 @@ def detect_intersections(
         )
     )
 
+    # Whole-stage-codegen barrier: fused into ONE codegen region with the
+    # join and the distinct's partial hash aggregate, the ~60-expression
+    # exact test generates a >64 KB consume method that Janino REJECTS
+    # ("Code grows beyond 64 KB", ~24k generated lines measured) — Spark
+    # then burns tens of driver seconds on the doomed compile (59 s per
+    # fresh JVM at 100k docs, the same serial cost on every leg of a
+    # scaling session) before silently re-running the subtree without
+    # fusion. A narrow no-shuffle coalesce() splits the region instead:
+    # the join compiles alone, and the exact test + hit filter + partial
+    # agg compile as their own stage, where row-input expression splitting
+    # keeps every method small. The huge target never reduces parallelism
+    # (coalesce only ever lowers a partition count). Pinned by
+    # tests/test_round5_hardening.py::test_intersections_compile_without_fallback.
+    pairs = pairs.coalesce(1 << 20)
+
     # exact test JVM-side (whole-stage codegen) — bit-identical twin of the
     # NumPy segment_intersections kernel, which remains the oracle/test path
     hits = _intersect_catalyst(pairs).where(F.col("hit"))

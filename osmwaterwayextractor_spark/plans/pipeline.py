@@ -218,6 +218,12 @@ class WaterwayEngine:
     def build_graph(self, docs: DataFrame, spark: Optional[SparkSession] = None) -> GraphResult:
         spark = spark or docs.sparkSession
         cfg = self.config
+        if self._t_prev_stage_end is None:
+            # arm the stage-gap timer at entry so the FIRST stage's [gap]
+            # line attributes pipeline-start → first-job driver time too
+            import time as _time
+
+            self._t_prev_stage_end = _time.time()
 
         # ONE span scan parses nodes AND ways (union schema); it materializes
         # once and the assembly's three consumers (refs, tags, node coords)

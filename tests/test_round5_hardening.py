@@ -178,3 +178,55 @@ def test_shared_docs_usable_validates_count(spark, tmp_path):
     assert not bench.shared_docs_usable(spark, p, 5)  # stale path, wrong count
     assert not bench.shared_docs_usable(spark, "", 3)
     assert not bench.shared_docs_usable(spark, str(tmp_path / "missing"), 3)
+
+
+# ---- intersections whole-stage-codegen compiles (round-5 scaling fix) ----
+
+
+def test_intersections_compile_without_fallback(spark):
+    """The detect+insert plan fused the SMJ/BHJ self-join, the ~60-expression
+    exact intersect test, and the distinct's partial hash aggregate into ONE
+    whole-stage-codegen region whose consume method exceeded Janino's 64 KB
+    limit — every fresh JVM then spent tens of driver seconds (59 s measured
+    at 100k docs) compiling code it would throw away before silently running
+    the subtree unfused. The coalesce() barrier in detect_intersections splits
+    the region so everything genuinely compiles.
+
+    With spark.sql.codegen.fallback=false a failed compile raises instead of
+    falling back, so this test is red iff any part of the intersections plan
+    stops compiling. Runs both join shapes (broadcast + sort-merge)."""
+    from osmwaterwayextractor_spark.config import EngineConfig
+    from osmwaterwayextractor_spark.operators.geometry_ops import (
+        WAYS_SCHEMA,
+        detect_intersections,
+        insert_intersections,
+    )
+
+    ways = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0], [0.0, 1.0], {}),
+            (2, [1.0, 0.0], [0.0, 1.0], {}),
+        ],
+        schema=WAYS_SCHEMA,
+    )
+    cfg = EngineConfig(filter_waterway_types=False)
+    conf = spark.conf
+    prev_fb, prev_bc = conf.get("spark.sql.codegen.fallback", "true"), conf.get(
+        "spark.sql.autoBroadcastJoinThreshold"
+    )
+    try:
+        conf.set("spark.sql.codegen.fallback", "false")
+        for bc in (prev_bc, "-1"):  # broadcast-hash and sort-merge shapes
+            conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+            pts = detect_intersections(ways, cfg)
+            assert [(round(r.plat, 6), round(r.plon, 6)) for r in pts.collect()] == [
+                (0.5, 0.5)
+            ]
+            out = {
+                r.way_id: list(zip(r.lats, r.lons))
+                for r in insert_intersections(ways, detect_intersections(ways, cfg), cfg).collect()
+            }
+            assert (0.5, 0.5) in out[1] and (0.5, 0.5) in out[2]
+    finally:
+        conf.set("spark.sql.codegen.fallback", prev_fb)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
