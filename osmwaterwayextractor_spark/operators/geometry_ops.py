@@ -18,6 +18,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -409,19 +411,48 @@ def detect_intersections(
     # fresh JVM at 100k docs, the same serial cost on every leg of a
     # scaling session) before silently re-running the subtree without
     # fusion. A narrow no-shuffle coalesce() splits the region instead:
-    # the join compiles alone, and the exact test + hit filter + partial
+    # the join compiles alone, and the exact test + hit explode + partial
     # agg compile as their own stage, where row-input expression splitting
     # keeps every method small. The huge target never reduces parallelism
     # (coalesce only ever lowers a partition count). Pinned by
     # tests/test_round5_hardening.py::test_intersections_compile_without_fallback.
-    pairs = pairs.coalesce(1 << 20)
+    # OSMWWE_CODEGEN_BARRIER=0 disables it (diagnostic A/B only).
+    if os.environ.get("OSMWWE_CODEGEN_BARRIER", "1") != "0":
+        pairs = pairs.coalesce(1 << 20)
 
     # exact test JVM-side (whole-stage codegen) — bit-identical twin of the
-    # NumPy segment_intersections kernel, which remains the oracle/test path
-    hits = _intersect_catalyst(pairs).where(F.col("hit"))
+    # NumPy segment_intersections kernel, which remains the oracle/test path.
+    #
+    # Hits are emitted through explode(when(hit, array(struct))), NOT
+    # where(hit): a Filter above the projection cascade gets rewritten by
+    # PushDownPredicates through every Project (and through the coalesce)
+    # into the JOIN CONDITION, alias-substituting the whole ~40-op exact
+    # test with NO subexpression sharing — a 24 KB single expression (every
+    # `rx` re-expanded to its defining subtraction, `r_len_sq` dozens of
+    # times) evaluated once per candidate pair, with the cascade above then
+    # recomputing t/u/plat/plon anyway. Measured: the 4-CPU 100k-doc
+    # intersections stage ran 354-416 s under that plan vs ~59 s without
+    # it, and the 400k-doc anchor crawled at any core count. A Generate is
+    # opaque to predicate pushdown (and Spark does not infer a size()>0
+    # filter for a conditional-array child), so the join keeps its cheap
+    # (cell, way_a < way_b) condition and the exact test evaluates ONCE per
+    # pair with shared intermediates. Pinned by
+    # tests/test_catalyst_intersect.py::test_exact_test_not_pushed_into_join.
+    tested = _intersect_catalyst(pairs)
+    hits = tested.select(
+        "way_a",
+        "way_b",
+        F.explode(
+            F.when(
+                F.col("hit"), F.array(F.struct(F.col("plat"), F.col("plon")))
+            ).otherwise(F.lit(None))
+        ).alias("_pt"),
+    )
+    plat = F.col("_pt.plat").alias("plat")
+    plon = F.col("_pt.plon").alias("plon")
     if keep_way_ids:
-        return hits.select("way_a", "way_b", "plat", "plon").distinct()
-    return hits.select("plat", "plon").distinct()
+        return hits.select("way_a", "way_b", plat, plon).distinct()
+    return hits.select(plat, plon).distinct()
 
 
 def insert_intersections(

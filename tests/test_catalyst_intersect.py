@@ -188,3 +188,36 @@ def test_insert_intersections_extreme_tolerance_fallback(spark):
     assert (0.5, 0.5) in padded[1] and (0.5, 0.5) in padded[2]
     assert len(padded[3]) == 4
     assert (0.25, 0.25) in padded[3] and (0.25, 0.75) in padded[3]
+
+
+def test_exact_test_not_pushed_into_join(spark):
+    """The exact intersect test must stay in the projection cascade, never
+    in the join condition: PushDownPredicates rewrites a where(hit) above
+    the cascade into the join condition via alias substitution, with NO
+    subexpression sharing — a measured 24 KB single expression evaluated
+    per candidate pair (the 4-CPU 100k-doc intersections stage regressed
+    354-416 s vs ~59 s under that plan). detect_intersections therefore
+    emits hits through a pushdown-opaque explode; this pins the plan."""
+    from osmwaterwayextractor_spark.config import EngineConfig
+    from osmwaterwayextractor_spark.operators.geometry_ops import detect_intersections
+
+    ways = spark.createDataFrame(
+        [(1, [0.0, 1.0], [0.0, 1.0], {}), (2, [1.0, 0.0], [0.0, 1.0], {})],
+        "way_id long, lats array<double>, lons array<double>, tags map<string,string>",
+    )
+    df = detect_intersections(ways, EngineConfig(), keep_way_ids=True)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # plan tree lines carry ":- / +-" prefixes — match anywhere in the line
+    join_lines = [ln.strip() for ln in opt.splitlines() if "Join Inner" in ln]
+    assert join_lines, opt
+    for ln in join_lines:
+        # the pair self-join carries only (cell equality, way ordering);
+        # the pushed-down monster contains the test's SQRT/abs arithmetic
+        assert "SQRT" not in ln and "abs(" not in ln, ln[:300]
+        assert len(ln) < 500, f"join condition blew up ({len(ln)} chars): {ln[:300]}"
+    # and no optimizer rule re-created a filter that evaluates the test a
+    # second time below the explode (e.g. an inferred size()>0 filter)
+    filter_lines = [
+        ln.strip() for ln in opt.splitlines() if "Filter " in ln or "Filter(" in ln
+    ]
+    assert all("SQRT" not in ln for ln in filter_lines), filter_lines
