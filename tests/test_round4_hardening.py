@@ -120,8 +120,11 @@ def test_covering_resolution_single_source_of_truth():
 
 
 def test_minhash_shingles_not_in_executor_storage(spark):
-    """The shingle table must not be pinned with .cache(): after building the
-    pairs plan, the session's storage layer holds nothing."""
+    """The shingle table must not be pinned with .cache(): running the pairs
+    plan must not ADD any persistent RDD. Compared as id SETS, not counts —
+    earlier tests in a shared session legitimately leave localCheckpoint RDDs
+    that the async ContextCleaner reaps at arbitrary times, so a count-equality
+    assertion races with that cleanup (seen once in a full-suite run)."""
     from osmwaterwayextractor_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.createDataFrame(
@@ -129,11 +132,19 @@ def test_minhash_shingles_not_in_executor_storage(spark):
          for i in range(20)],
         "doc_id string, text string",
     )
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+
+    def persistent_ids():
+        jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = jmap.keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    before = persistent_ids()
     out = minhash_lsh_pairs(docs, num_perm=16, bands=4)
     out.count()
-    assert jsc.getPersistentRDDs().size() == before
+    assert persistent_ids() - before == set()
 
 
 def test_table_sink_seam(spark, tmp_path):
