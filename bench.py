@@ -94,6 +94,12 @@ def build_session(cpus: int):
     # the per-task Pandas-kernel and per-file costs. Env knob kept for
     # experiments.
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")) or max(cpus, 16)
+    # ad-hoc conf overrides for controlled A/Bs (semicolon-separated k=v);
+    # never set by the published protocol scripts
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra[k.strip()] = v.strip()
     return spark_session(
         app="osmwwe-bench",
         master=f"local[{cpus}]",
