@@ -334,9 +334,29 @@ def one_level(cpus: int, n_docs: int, cpuset: str | None = None, sel: dict | Non
         cpuset, sel = select_cpuset(cpus)
     membw = sel.get("gbps", -1.0) if sel else _membw_probe(cpuset)
     cmd = ["taskset", "-c", cpuset, sys.executable, os.path.join(ROOT, "bench.py")]
+    # in-leg capability tracer (round-5): legs run 4-11 min while the QoS
+    # window moves on minute scale — sample a spare core's bandwidth + the
+    # leg cpuset's busy% throughout, so each leg carries a falsifiable
+    # record of whether its window HELD, not just whether it opened.
+    # Spares are drawn from the sweep's healthiest non-leg cores so a
+    # starved spare doesn't misread a healthy window. Diagnostic only —
+    # never feeds the estimator.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from leg_tracer import LegTracer
+
+    leg_cpus = [int(c) for c in cpuset.split(",")]
+    sweep = (sel or {}).get("sweep") or {}
+    spare_pool = [c for c in sorted(sweep, key=lambda c: -sweep[c])] or None
+    tracer = LegTracer(leg_cpus, spare_pool=spare_pool).start()
     s0, t0 = _read_cpu_ticks()
     out = subprocess.run(cmd, env=env, capture_output=True, text=True)
     s1, t1 = _read_cpu_ticks()
+    trace = tracer.stop()
+    with open(PROBES_LOG, "a") as f:
+        f.write(json.dumps({
+            "ts": time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime()),
+            "type": "leg_trace", "level": cpus, "cpuset": cpuset, **trace,
+        }) + "\n")
     if out.returncode != 0:
         sys.stderr.write(f"[leg cpus={cpus}] FAILED rc={out.returncode}\n")
         sys.stderr.write("\n".join(out.stderr.splitlines()[-40:]) + "\n")
@@ -347,6 +367,7 @@ def one_level(cpus: int, n_docs: int, cpuset: str | None = None, sel: dict | Non
     r["interference"] = r["steal_pct"] > STEAL_FLAG_PCT
     r["cpuset"] = cpuset
     r["membw_gbps"] = membw
+    r["trace"] = {k: v for k, v in trace.items() if k != "timeline"}
     if sel:
         r["cpu_select"] = sel
     import re
@@ -575,6 +596,11 @@ def main() -> None:
         "stage_walls": {
             str(c): [r.get("stages", {}) for r in runs[c]] for c in levels
         },
+        # in-leg tracer summaries (full timelines in scaling_probes.jsonl):
+        # whether each leg's capability window HELD while it ran
+        "leg_traces": {
+            str(c): [r.get("trace", {}) for r in runs[c]] for c in levels
+        },
         "edges_per_sec_best": [round(t, 1) for t in thr],
         "paired_efficiencies": paired,
         "scaling_efficiency": round(eff, 4),
@@ -759,6 +785,13 @@ def write_baseline_md(sf_dir, levels, factor, runs, results, eff, session) -> No
                 + " | ".join(f"{r['queries'].get(k, float('nan')):.2f}" for r in results)
                 + " |\n"
             )
+    # re-append the supplementary concurrent-pairing section (this writer
+    # regenerates the whole file; the concurrent history must survive it)
+    conc = os.path.join(ROOT, "BENCH", "work", "concurrent_sessions.jsonl")
+    if os.path.exists(conc):
+        from scaling_concurrent import publish
+
+        publish([json.loads(l) for l in open(conc) if l.strip()])
 
 
 if __name__ == "__main__":
