@@ -789,6 +789,7 @@ def write_baseline_md(sf_dir, levels, factor, runs, results, eff, session) -> No
     # regenerates the whole file; the concurrent history must survive it)
     conc = os.path.join(ROOT, "BENCH", "work", "concurrent_sessions.jsonl")
     if os.path.exists(conc):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from scaling_concurrent import publish
 
         publish([json.loads(l) for l in open(conc) if l.strip()])
