@@ -200,12 +200,11 @@ def one_round(levels: list[int], n_docs: int) -> dict:
 
 
 def publish(history: list[dict]) -> None:
-    """Rewrite the supplementary section at the end of BENCH/BASELINE.md."""
+    """Rewrite this protocol's own section of BENCH/BASELINE.md in place."""
+    from baseline_sections import replace_section
+
     path = os.path.join(ROOT, "BENCH", "BASELINE.md")
     body = open(path).read() if os.path.exists(path) else "# BENCH/BASELINE\n"
-    if MARKER in body:
-        body = body[: body.index(MARKER)]
-    body = body.rstrip() + "\n\n"
     lines = [MARKER, ""]
     lines.append(
         "Both levels run SIMULTANEOUSLY on disjoint pinned cpusets (the 1-cpu\n"
@@ -229,9 +228,8 @@ def publish(history: list[dict]) -> None:
             f"{s['median_efficiency']} | {s['steal_pct_rounds']} | "
             f"{'PASS' if s['passed'] else 'fail'} |"
         )
-    lines.append("")
     with open(path, "w") as f:
-        f.write(body + "\n".join(lines) + "\n")
+        f.write(replace_section(body, MARKER, "\n".join(lines)))
 
 
 def main() -> None:

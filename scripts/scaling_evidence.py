@@ -785,14 +785,20 @@ def write_baseline_md(sf_dir, levels, factor, runs, results, eff, session) -> No
                 + " | ".join(f"{r['queries'].get(k, float('nan')):.2f}" for r in results)
                 + " |\n"
             )
-    # re-append the supplementary concurrent-pairing section (this writer
-    # regenerates the whole file; the concurrent history must survive it)
-    conc = os.path.join(ROOT, "BENCH", "work", "concurrent_sessions.jsonl")
-    if os.path.exists(conc):
-        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        from scaling_concurrent import publish
+    # re-append the supplementary protocol sections (this writer regenerates
+    # the whole file; the concurrent/weak histories must survive it)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    for mod_name, jsonl in (
+        ("scaling_concurrent", "concurrent_sessions.jsonl"),
+        ("scaling_weak", "weak_sessions.jsonl"),
+    ):
+        p = os.path.join(ROOT, "BENCH", "work", jsonl)
+        if os.path.exists(p):
+            import importlib
 
-        publish([json.loads(l) for l in open(conc) if l.strip()])
+            importlib.import_module(mod_name).publish(
+                [json.loads(l) for l in open(p) if l.strip()]
+            )
 
 
 if __name__ == "__main__":

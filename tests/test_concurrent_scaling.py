@@ -92,3 +92,41 @@ def test_tracer_samples_busy_and_spare(monkeypatch):
     assert s["spare_gbps_mean"] == 5.0
     assert all(k in s for k in ("spare_gbps_mean", "leg_busy_pct_mean", "steal_pct_max"))
     assert len(s["timeline"]) == s["n_samples"]
+
+
+baseline_sections = _load("baseline_sections")
+scaling_weak = _load("scaling_weak")
+
+
+def test_replace_section_composes_in_any_order():
+    rs = baseline_sections.replace_section
+    body = "# title\n\nbase content\n"
+    body = rs(body, "## A", "## A\n\na1")
+    body = rs(body, "## B", "## B\n\nb1")
+    body = rs(body, "## A", "## A\n\na2")  # update A without touching B
+    assert "a2" in body and "a1" not in body and "b1" in body
+    assert body.index("## A") < body.index("## B")
+    body = rs(body, "## B", "## B\n\nb2")
+    assert "b2" in body and "b1" not in body and "a2" in body
+
+
+def test_weak_publish_writes_own_section_only(tmp_path, monkeypatch):
+    monkeypatch.setattr(scaling_weak, "ROOT", str(tmp_path))
+    (tmp_path / "BENCH").mkdir()
+    (tmp_path / "BENCH" / "BASELINE.md").write_text(
+        "# BENCH/BASELINE\n\nsequential body\n\n"
+        "## Same-window concurrent pairing (supplementary protocol)\n\nconc\n"
+    )
+    scaling_weak.publish([
+        {
+            "ts": "2026-08-19 00:00:00 UTC",
+            "base_docs": 100000,
+            "round_efficiencies": [0.9, 0.85],
+            "median_efficiency": 0.875,
+            "steal_pct_rounds": [{"1": 0.1, "4": 0.1}],
+            "passed": True,
+        }
+    ])
+    text = (tmp_path / "BENCH" / "BASELINE.md").read_text()
+    assert "sequential body" in text and "conc" in text
+    assert "Weak scaling" in text and "0.875" in text and "PASS" in text
