@@ -791,6 +791,7 @@ def write_baseline_md(sf_dir, levels, factor, runs, results, eff, session) -> No
     for mod_name, jsonl in (
         ("scaling_concurrent", "concurrent_sessions.jsonl"),
         ("scaling_weak", "weak_sessions.jsonl"),
+        ("publish_controls", "host_controls.jsonl"),
     ):
         p = os.path.join(ROOT, "BENCH", "work", jsonl)
         if os.path.exists(p):
