@@ -334,10 +334,12 @@ def stage_tripwire(app_id: str, reps_run: int) -> dict:
         cur_total = _stage_task_times(log_path)
         reps = max(1, reps_run)
         cur = {k: round(v / reps, 1) for k, v in cur_total.items()}
+        # Committed (not BENCH/work, which is gitignored and gets wiped
+        # between driver sessions) so the tripwire baseline survives across
+        # rounds — the whole point is diffing against the PREVIOUS anchor.
         prev_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "BENCH",
-            "work",
             "anchor_stage_times.json",
         )
         deltas = {}

@@ -792,6 +792,7 @@ def write_baseline_md(sf_dir, levels, factor, runs, results, eff, session) -> No
         ("scaling_concurrent", "concurrent_sessions.jsonl"),
         ("scaling_weak", "weak_sessions.jsonl"),
         ("publish_controls", "host_controls.jsonl"),
+        ("stage_scaling_table", "scaling_sessions.jsonl"),
     ):
         p = os.path.join(ROOT, "BENCH", "work", jsonl)
         if os.path.exists(p):
