@@ -328,6 +328,11 @@ def one_level(cpus: int, n_docs: int, cpuset: str | None = None, sel: dict | Non
             "SPARK_GRAFT_BENCH_MODE": "pipeline",
             "SPARK_GRAFT_BENCH_REPS": "1",  # session-level interleaving below
             "OSMWWE_STAGE_TIMING": "1",  # per-stage walls into the session log
+            # every leg doubles as a profiling run: the event log (a few MB
+            # of JSON on /tmp) lets scripts/driver_holes.py attribute the
+            # 4-cpu busy% gap to zero-task driver holes vs task skew after
+            # the fact, with no extra measurement runs on the shared host
+            "OSMWWE_EVENTLOG": "true",
         }
     )
     if cpuset is None:
@@ -348,10 +353,14 @@ def one_level(cpus: int, n_docs: int, cpuset: str | None = None, sel: dict | Non
     sweep = (sel or {}).get("sweep") or {}
     spare_pool = [c for c in sorted(sweep, key=lambda c: -sweep[c])] or None
     tracer = LegTracer(leg_cpus, spare_pool=spare_pool).start()
+    evdir = "/tmp/spark-events"
+    os.makedirs(evdir, exist_ok=True)
+    ev_before = set(os.listdir(evdir))
     s0, t0 = _read_cpu_ticks()
     out = subprocess.run(cmd, env=env, capture_output=True, text=True)
     s1, t1 = _read_cpu_ticks()
     trace = tracer.stop()
+    ev_new = [f for f in os.listdir(evdir) if f not in ev_before and not f.endswith(".inprogress")]
     with open(PROBES_LOG, "a") as f:
         f.write(json.dumps({
             "ts": time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime()),
@@ -367,6 +376,7 @@ def one_level(cpus: int, n_docs: int, cpuset: str | None = None, sel: dict | Non
     r["interference"] = r["steal_pct"] > STEAL_FLAG_PCT
     r["cpuset"] = cpuset
     r["membw_gbps"] = membw
+    r["eventlog"] = os.path.join(evdir, ev_new[0]) if len(ev_new) == 1 else None
     r["trace"] = {k: v for k, v in trace.items() if k != "timeline"}
     if sel:
         r["cpu_select"] = sel
@@ -600,6 +610,11 @@ def main() -> None:
         # whether each leg's capability window HELD while it ran
         "leg_traces": {
             str(c): [r.get("trace", {}) for r in runs[c]] for c in levels
+        },
+        # per-leg Spark event logs (/tmp — not committed): every leg doubles
+        # as a profiling run for scripts/driver_holes.py + analyze_eventlog.py
+        "eventlogs": {
+            str(c): [r.get("eventlog") for r in runs[c]] for c in levels
         },
         "edges_per_sec_best": [round(t, 1) for t in thr],
         "paired_efficiencies": paired,
