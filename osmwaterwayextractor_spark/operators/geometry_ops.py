@@ -181,127 +181,80 @@ def _intersect_catalyst(pairs: DataFrame) -> DataFrame:
 
     Input columns: a_lat1..a_lon2, b_lat1..b_lon2 (+ passthrough).
     Output: input columns + hit boolean, plat, plon.
+
+    The layers are authored as SQL strings (selectExpr), not stacked Column
+    DSL ops: the DSL version of this ~60-expression dag cost ~5,000 py4j
+    socket round-trips ≈ 6 s of DRIVER-SERIAL wall per pipeline run
+    (round-5 event-log audit: an 9 s zero-task hole between the covered
+    stage and the intersections job — pure Amdahl serial fraction that
+    capped N→4N scaling). One JVM parse per layer builds the IDENTICAL
+    Catalyst tree (CASE WHEN ↔ when/otherwise, D-suffixed double literals ↔
+    F.lit(float)), so bit-parity with the NumPy kernel is unchanged —
+    pinned by test_catalyst_intersect_matches_numpy_kernel.
     """
-    inf = F.lit(float("inf"))
-    nan = F.lit(float("nan"))
-    d = pairs.select(
+    d = pairs.selectExpr(
         "*",
-        (F.col("a_lon2") - F.col("a_lon1")).alias("rx"),
-        (F.col("a_lat2") - F.col("a_lat1")).alias("ry"),
-        (F.col("b_lon2") - F.col("b_lon1")).alias("sx"),
-        (F.col("b_lat2") - F.col("b_lat1")).alias("sy"),
-        (F.col("b_lon1") - F.col("a_lon1")).alias("qpx"),
-        (F.col("b_lat1") - F.col("a_lat1")).alias("qpy"),
+        "a_lon2 - a_lon1 AS rx",
+        "a_lat2 - a_lat1 AS ry",
+        "b_lon2 - b_lon1 AS sx",
+        "b_lat2 - b_lat1 AS sy",
+        "b_lon1 - a_lon1 AS qpx",
+        "b_lat1 - a_lat1 AS qpy",
     )
-    d = d.select(
+    d = d.selectExpr(
         "*",
-        (F.col("rx") * F.col("sy") - F.col("ry") * F.col("sx")).alias("denom"),
-        (F.col("rx") * F.col("rx") + F.col("ry") * F.col("ry")).alias("r_len_sq"),
-        F.sqrt(
-            (F.col("rx") * F.col("rx") + F.col("ry") * F.col("ry"))
-            * (F.col("sx") * F.col("sx") + F.col("sy") * F.col("sy"))
-        ).alias("scale"),
+        "rx * sy - ry * sx AS denom",
+        "rx * rx + ry * ry AS r_len_sq",
+        "sqrt((rx * rx + ry * ry) * (sx * sx + sy * sy)) AS scale",
     )
-    d = d.select(
+    d = d.selectExpr("*", "abs(denom) > 1e-9D * scale AS nonpar")
+    d = d.selectExpr(
         "*",
-        (F.abs(F.col("denom")) > F.lit(1e-9) * F.col("scale")).alias("nonpar"),
-    )
-    d = d.select(
-        "*",
-        F.when(
-            F.col("nonpar"),
-            (F.col("qpx") * F.col("sy") - F.col("qpy") * F.col("sx")) / F.col("denom"),
-        )
-        .otherwise(nan)
-        .alias("t0"),
-        F.when(
-            F.col("nonpar"),
-            (F.col("qpx") * F.col("ry") - F.col("qpy") * F.col("rx")) / F.col("denom"),
-        )
-        .otherwise(nan)
-        .alias("u0"),
+        "CASE WHEN nonpar THEN (qpx * sy - qpy * sx) / denom"
+        " ELSE double('NaN') END AS t0",
+        "CASE WHEN nonpar THEN (qpx * ry - qpy * rx) / denom"
+        " ELSE double('NaN') END AS u0",
         # collinear single-point touch: project B's endpoints onto A
-        (
-            F.abs(F.col("qpx") * F.col("ry") - F.col("qpy") * F.col("rx"))
-            / F.when(F.col("r_len_sq") > 0, F.sqrt(F.col("r_len_sq"))).otherwise(F.lit(1.0))
-        ).alias("lateral"),
-        F.when(
-            F.col("r_len_sq") > 0,
-            (F.col("qpx") * F.col("rx") + F.col("qpy") * F.col("ry")) / F.col("r_len_sq"),
-        )
-        .otherwise(inf)
-        .alias("tb1"),
-        F.when(
-            F.col("r_len_sq") > 0,
-            (
-                (F.col("b_lon2") - F.col("a_lon1")) * F.col("rx")
-                + (F.col("b_lat2") - F.col("a_lat1")) * F.col("ry")
-            )
-            / F.col("r_len_sq"),
-        )
-        .otherwise(inf)
-        .alias("tb2"),
+        "abs(qpx * ry - qpy * rx)"
+        " / (CASE WHEN r_len_sq > 0D THEN sqrt(r_len_sq) ELSE 1.0D END) AS lateral",
+        "CASE WHEN r_len_sq > 0D THEN (qpx * rx + qpy * ry) / r_len_sq"
+        " ELSE double('Infinity') END AS tb1",
+        "CASE WHEN r_len_sq > 0D THEN"
+        " ((b_lon2 - a_lon1) * rx + (b_lat2 - a_lat1) * ry) / r_len_sq"
+        " ELSE double('Infinity') END AS tb2",
     )
-    clip01 = lambda c: F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))  # noqa: E731
-    d = d.select(
+    d = d.selectExpr(
         "*",
-        F.greatest(F.lit(0.0), F.least(F.col("tb1"), F.col("tb2"))).alias("lo"),
-        F.least(F.lit(1.0), F.greatest(F.col("tb1"), F.col("tb2"))).alias("hi"),
+        "greatest(0.0D, least(tb1, tb2)) AS lo",
+        "least(1.0D, greatest(tb1, tb2)) AS hi",
     )
-    eps_t = F.lit(1e-9)
-    touch = (
-        (~F.col("nonpar"))
-        & (F.col("r_len_sq") > 0)
-        & (
-            F.col("lateral")
-            <= F.lit(1e-9) * F.greatest(F.sqrt(F.col("r_len_sq")), F.lit(1e-300))
-        )
-        & (F.col("hi") - F.col("lo") >= -eps_t)
-        & (F.col("hi") - F.col("lo") <= eps_t)
+    d = d.selectExpr(
+        "*",
+        "(NOT nonpar) AND r_len_sq > 0D"
+        " AND lateral <= 1e-9D * greatest(sqrt(r_len_sq), 1e-300D)"
+        " AND hi - lo >= -1e-9D AND hi - lo <= 1e-9D AS touch",
     )
-    d = d.select("*", touch.alias("touch"))
-    t = F.when(
-        F.col("touch"), clip01((F.col("lo") + F.col("hi")) / F.lit(2.0))
-    ).otherwise(F.col("t0"))
-    u = F.when(
-        F.col("touch"),
-        F.when(
-            F.abs(F.col("tb1") - clip01(F.col("tb1")))
-            <= F.abs(F.col("tb2") - clip01(F.col("tb2"))),
-            F.lit(0.0),
-        ).otherwise(F.lit(1.0)),
-    ).otherwise(F.col("u0"))
-    d = d.select("*", t.alias("t"), u.alias("u"))
-    hit = (
-        F.col("nonpar")
-        & (F.col("t") >= 0.0)
-        & (F.col("t") <= 1.0)
-        & (F.col("u") >= 0.0)
-        & (F.col("u") <= 1.0)
-    ) | F.col("touch")
+    clip01 = "least(greatest({c}, 0.0D), 1.0D)"
+    d = d.selectExpr(
+        "*",
+        "CASE WHEN touch THEN "
+        + clip01.format(c="(lo + hi) / 2.0D")
+        + " ELSE t0 END AS t",
+        "CASE WHEN touch THEN (CASE WHEN "
+        f"abs(tb1 - {clip01.format(c='tb1')}) <= abs(tb2 - {clip01.format(c='tb2')})"
+        " THEN 0.0D ELSE 1.0D END) ELSE u0 END AS u",
+    )
     # interpolate, then snap exact endpoint touches to the input vertices
     # (same override order as the kernel: t first, u takes precedence)
-    lat_i = (
-        F.when(F.col("t") == 0.0, F.col("a_lat1"))
-        .when(F.col("t") == 1.0, F.col("a_lat2"))
-        .otherwise(F.col("a_lat1") + F.col("t") * F.col("ry"))
-    )
-    lon_i = (
-        F.when(F.col("t") == 0.0, F.col("a_lon1"))
-        .when(F.col("t") == 1.0, F.col("a_lon2"))
-        .otherwise(F.col("a_lon1") + F.col("t") * F.col("rx"))
-    )
-    plat = (
-        F.when(F.col("u") == 0.0, F.col("b_lat1"))
-        .when(F.col("u") == 1.0, F.col("b_lat2"))
-        .otherwise(lat_i)
-    )
-    plon = (
-        F.when(F.col("u") == 0.0, F.col("b_lon1"))
-        .when(F.col("u") == 1.0, F.col("b_lon2"))
-        .otherwise(lon_i)
-    )
-    return d.select("*", hit.alias("hit"), plat.alias("plat"), plon.alias("plon")).drop(
+    lat_i = "CASE WHEN t = 0.0D THEN a_lat1 WHEN t = 1.0D THEN a_lat2 ELSE a_lat1 + t * ry END"
+    lon_i = "CASE WHEN t = 0.0D THEN a_lon1 WHEN t = 1.0D THEN a_lon2 ELSE a_lon1 + t * rx END"
+    return d.selectExpr(
+        "*",
+        "(nonpar AND t >= 0.0D AND t <= 1.0D AND u >= 0.0D AND u <= 1.0D)"
+        " OR touch AS hit",
+        f"CASE WHEN u = 0.0D THEN b_lat1 WHEN u = 1.0D THEN b_lat2 ELSE {lat_i} END AS plat",
+        f"CASE WHEN u = 0.0D THEN b_lon1 WHEN u = 1.0D THEN b_lon2 ELSE {lon_i} END AS plon",
+    ).drop(
         "rx", "ry", "sx", "sy", "qpx", "qpy", "denom", "r_len_sq", "scale",
         "nonpar", "t0", "u0", "lateral", "tb1", "tb2", "lo", "hi", "touch", "t", "u",
     )
@@ -353,18 +306,22 @@ def _point_ring_cells(lat_col: str, lon_col: str, level: int):
     """3×3 ring of level-``level`` cells around a point, same bit packing as
     ``_with_cover_cells``. No lon-wrap/lat-clamp: out-of-range neighbors
     yield cell ids the cover table never contains (the padded-bbox cover
-    this replaces did not wrap either), so they are harmless no-matches."""
+    this replaces did not wrap either), so they are harmless no-matches.
+
+    Authored as ONE SQL expression (not 9 × ~6 stacked Column ops): the DSL
+    version cost ~1 s of py4j round-trips per call in driver-serial plan
+    construction (see _intersect_catalyst). Long arithmetic is exact, so
+    the emitted cell ids are identical either way."""
     w = cell_width_deg(level)
-    x = F.floor((F.col(lon_col) + 180.0) / w).cast("long")
-    y = F.floor((F.col(lat_col) + 90.0) / w).cast("long")
-    base = F.lit(level).cast("long") * F.lit(1 << 52).cast("long")
-    return F.array(
-        *[
-            base + F.shiftleft(x + dx, int(X_SHIFT)) + (y + dy)
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ]
+    x = f"CAST(floor(({lon_col} + 180.0D) / {w!r}D) AS BIGINT)"
+    y = f"CAST(floor(({lat_col} + 90.0D) / {w!r}D) AS BIGINT)"
+    base = f"{level}L * {1 << 52}L"
+    elems = ", ".join(
+        f"{base} + shiftleft({x} + {dx}L, {int(X_SHIFT)}) + ({y} + {dy}L)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
     )
+    return F.expr(f"array({elems})")
 
 
 def detect_intersections(

@@ -187,6 +187,9 @@ class WaterwayEngine:
         out = self._ephemeral_stage("covered", _covered_resplit(raw, self.config))
         if os.environ.get("OSMWWE_STAGE_TIMING"):
             print(f"[stage] covered: {time.time() - t0:.2f}s", flush=True)
+        # reset the gap timer so the next [gap] line measures plan
+        # construction alone, not this stage's wall over again
+        self._t_prev_stage_end = time.time()
         return out
 
     def _stages_concurrent(self, named: list[tuple[str, DataFrame]]) -> list[DataFrame]:
