@@ -290,6 +290,21 @@ def _run_bench_body(
     }
 
 
+def _eventlog_files(path: str) -> list[str]:
+    """Resolve an event-log path to its line-JSON file(s). Spark 4 writes
+    ROLLING v2 logs by default: a `eventlog_v2_<appId>/` DIRECTORY holding
+    `events_<n>_<appId>` files plus an appstatus marker — a flat-file
+    reader silently sees nothing. Accepts either layout."""
+    if os.path.isfile(path):
+        return [path]
+    if os.path.isdir(path):
+        evs = sorted(
+            f for f in os.listdir(path) if f.startswith("events_")
+        )
+        return [os.path.join(path, f) for f in evs]
+    return []
+
+
 def _stage_task_times(eventlog_path: str) -> dict[str, float]:
     """Sum task run time (seconds) per stage NAME from a Spark event log.
 
@@ -300,24 +315,25 @@ def _stage_task_times(eventlog_path: str) -> dict[str, float]:
     keys comparable across runs of the same code."""
     by_name: dict[str, float] = {}
     id_to_name: dict[tuple[int, int], str] = {}
-    with open(eventlog_path) as f:
-        for line in f:
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            kind = ev.get("Event")
-            if kind == "SparkListenerStageSubmitted":
-                si = ev["Stage Info"]
-                id_to_name[(si["Stage ID"], si["Stage Attempt ID"])] = si.get(
-                    "Stage Name", "?"
-                )
-            elif kind == "SparkListenerTaskEnd":
-                name = id_to_name.get((ev["Stage ID"], ev["Stage Attempt ID"]), "?")
-                tm = ev.get("Task Metrics") or {}
-                by_name[name] = by_name.get(name, 0.0) + tm.get(
-                    "Executor Run Time", 0
-                ) / 1e3
+    for fp in _eventlog_files(eventlog_path):
+        with open(fp) as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                kind = ev.get("Event")
+                if kind == "SparkListenerStageSubmitted":
+                    si = ev["Stage Info"]
+                    id_to_name[(si["Stage ID"], si["Stage Attempt ID"])] = si.get(
+                        "Stage Name", "?"
+                    )
+                elif kind == "SparkListenerTaskEnd":
+                    name = id_to_name.get((ev["Stage ID"], ev["Stage Attempt ID"]), "?")
+                    tm = ev.get("Task Metrics") or {}
+                    by_name[name] = by_name.get(name, 0.0) + tm.get(
+                        "Executor Run Time", 0
+                    ) / 1e3
     return by_name
 
 
@@ -329,6 +345,9 @@ def stage_tripwire(app_id: str, reps_run: int) -> dict:
     reason for the bench to fail."""
     try:
         log_path = os.path.join("/tmp/spark-events", app_id)
+        if not os.path.exists(log_path):
+            # Spark 4 rolling (v2) layout: a directory named after the app
+            log_path = os.path.join("/tmp/spark-events", f"eventlog_v2_{app_id}")
         if not os.path.exists(log_path):
             return {}
         cur_total = _stage_task_times(log_path)

@@ -17,6 +17,24 @@ def main() -> None:
     path, cores = sys.argv[1], int(sys.argv[2])
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 25
     stages: dict[tuple[int, int], dict] = {}
+    from driver_holes import _eventlog_files
+
+    for fp in _eventlog_files(path):
+        _scan(fp, stages)
+
+    rows = sorted(stages.items(), key=lambda kv: -kv[1]["wall"])[:top_n]
+    total_wall = sum(s["wall"] for _, s in stages.items())
+    print(f"{'stage':>5} {'wall_s':>8} {'tasks':>6} {'task_s':>8} {'cpu_s':>8} "
+          f"{'gc_s':>6} {'util':>5} {'shR_MB':>7} {'shW_MB':>7}  name")
+    for (sid, _), s in rows:
+        util = s["run"] / (s["wall"] * cores) if s["wall"] > 0 else 0.0
+        print(f"{sid:>5} {s['wall']:>8.1f} {s['tasks']:>6} {s['run']:>8.1f} "
+              f"{s['cpu']:>8.1f} {s['gc']:>6.1f} {util:>5.2f} "
+              f"{s['sh_r']/1e6:>7.0f} {s['sh_w']/1e6:>7.0f}  {s['name']}")
+    print(f"total stage wall: {total_wall:.1f}s  stages: {len(stages)}")
+
+
+def _scan(path: str, stages: dict) -> None:
     with open(path) as f:
         for line in f:
             try:
@@ -44,17 +62,6 @@ def main() -> None:
                 swm = tm.get("Shuffle Write Metrics") or {}
                 st["sh_r"] += srm.get("Local Bytes Read", 0) + srm.get("Remote Bytes Read", 0)
                 st["sh_w"] += swm.get("Shuffle Bytes Written", 0)
-
-    rows = sorted(stages.items(), key=lambda kv: -kv[1]["wall"])[:top_n]
-    total_wall = sum(s["wall"] for _, s in stages.items())
-    print(f"{'stage':>5} {'wall_s':>8} {'tasks':>6} {'task_s':>8} {'cpu_s':>8} "
-          f"{'gc_s':>6} {'util':>5} {'shR_MB':>7} {'shW_MB':>7}  name")
-    for (sid, _), s in rows:
-        util = s["run"] / (s["wall"] * cores) if s["wall"] > 0 else 0.0
-        print(f"{sid:>5} {s['wall']:>8.1f} {s['tasks']:>6} {s['run']:>8.1f} "
-              f"{s['cpu']:>8.1f} {s['gc']:>6.1f} {util:>5.2f} "
-              f"{s['sh_r']/1e6:>7.0f} {s['sh_w']/1e6:>7.0f}  {s['name']}")
-    print(f"total stage wall: {total_wall:.1f}s  stages: {len(stages)}")
 
 
 def _blank() -> dict:

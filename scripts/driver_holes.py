@@ -25,23 +25,39 @@ import json
 import sys
 
 
+def _eventlog_files(path: str) -> list[str]:
+    """Flat-file OR Spark-4 rolling v2 directory (events_<n>_<appId>)."""
+    import os
+
+    if os.path.isfile(path):
+        return [path]
+    if os.path.isdir(path):
+        return [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.startswith("events_")
+        ]
+    return []
+
+
 def load_events(path: str):
     tasks = []  # (launch_ms, finish_ms, stage_id)
     stage_names: dict[int, str] = {}
-    for line in open(path):
-        try:
-            ev = json.loads(line)
-        except json.JSONDecodeError:
-            continue
-        kind = ev.get("Event")
-        if kind == "SparkListenerTaskEnd":
-            ti = ev.get("Task Info") or {}
-            lt, ft = ti.get("Launch Time"), ti.get("Finish Time")
-            if lt and ft:
-                tasks.append((lt, ft, ev.get("Stage ID", -1)))
-        elif kind == "SparkListenerStageSubmitted":
-            si = ev["Stage Info"]
-            stage_names[si["Stage ID"]] = si.get("Stage Name", "?")
+    for fp in _eventlog_files(path):
+        for line in open(fp):
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            kind = ev.get("Event")
+            if kind == "SparkListenerTaskEnd":
+                ti = ev.get("Task Info") or {}
+                lt, ft = ti.get("Launch Time"), ti.get("Finish Time")
+                if lt and ft:
+                    tasks.append((lt, ft, ev.get("Stage ID", -1)))
+            elif kind == "SparkListenerStageSubmitted":
+                si = ev["Stage Info"]
+                stage_names[si["Stage ID"]] = si.get("Stage Name", "?")
     return tasks, stage_names
 
 
