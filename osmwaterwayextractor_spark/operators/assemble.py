@@ -35,6 +35,20 @@ from ..config import EngineConfig
 _ASM_SCHEMA = "way_id long, n_refs int, n_resolved long, lats array<double>, lons array<double>"
 
 
+def _shuffle_hash(nodes: DataFrame) -> DataFrame:
+    """Pin the refs⋈nodes join to a SHUFFLED hash join with nodes as the
+    build side. Catalyst's size estimate does not grow through
+    ``Generate(posexplode)``, so with AQE off it saw the exploded-refs side
+    at the PRE-explode scan size and auto-broadcast it — a 10^7-row
+    HashedRelation built SINGLE-THREADED on the driver (measured 8-21 s of
+    zero-task wall per 100k-doc leg, pure Amdahl serial loss under the
+    N→4N rule), and at 10^12-doc scale an outright OOM: both join sides
+    are data-sized, so the only plan that survives is a shuffle on
+    node_id. The hint makes that explicit instead of trusting a stats
+    path that is known-wrong below a Generate."""
+    return nodes.hint("shuffle_hash")
+
+
 def _reassemble_kernel(batches):
     """Per-partition pass over rows sorted by (way_id, pos): emit one row per
     way. A way may span multiple Arrow batches — carry state across them."""
@@ -105,7 +119,7 @@ def assemble_geometries(
         F.size("refs").alias("n_refs"),
         F.posexplode("refs").alias("pos", "node_id"),
     )
-    resolved = refs.join(nodes, "node_id", "inner").select(
+    resolved = refs.join(_shuffle_hash(nodes), "node_id", "inner").select(
         "way_id", "n_refs", "pos", "lat", "lon"
     )
     n_part = max(config.shuffle_partitions, 16)
@@ -133,8 +147,21 @@ def assemble_clean_simplify(
     kernels. The 'simplified' stage is the second-largest of the pipeline
     (measured 203 s of a 974 s 1-CPU 100k-doc leg), and its intermediate
     is every vertex of every way; the fusion removes one full encode +
-    decode of that table. Tags join afterwards exactly as in
-    assemble_geometries (clean/simplify never reads tags)."""
+    decode of that table.
+
+    Tags ride the pos-0 ref row through the kernel instead of re-joining
+    after assembly: the post-assembly ``geoms ⋈ ways(way_id, tags)`` was
+    auto-broadcast by Spark, and building that hashed relation (every
+    way's tag map) is SINGLE-THREADED DRIVER work — measured 8-21 s of
+    zero-task wall per 100k-doc leg (event-log hole between the broadcast
+    job and the stage write), the same absolute seconds at every core
+    count, i.e. pure Amdahl serial fraction under the N→4N scaling rule.
+    Carrying one non-null map per way through the existing shuffles costs
+    only those bytes and removes the broadcast scan job, the driver-side
+    relation build, and the join itself. A complete way always has its
+    pos-0 row (a way with ANY missing ref is dropped whole), so the run's
+    first row after the (way_id, pos) sort carries the tags; partial ways
+    are dropped before tags are read."""
     from ..functions.geometry import M_TO_DEG
     from .geometry_ops import clean_simplify_arrays
 
@@ -144,10 +171,14 @@ def assemble_clean_simplify(
     refs = ways.select(
         "way_id",
         F.size("refs").alias("n_refs"),
+        "tags",
         F.posexplode("refs").alias("pos", "node_id"),
     )
-    resolved = refs.join(nodes, "node_id", "inner").select(
-        "way_id", "n_refs", "pos", "lat", "lon"
+    # one non-null tag map per way (on its pos-0 row): nulls elsewhere keep
+    # the 10^7-row explode's shuffle bytes flat
+    refs = refs.withColumn("tags", F.when(F.col("pos") == 0, F.col("tags")))
+    resolved = refs.join(_shuffle_hash(nodes), "node_id", "inner").select(
+        "way_id", "n_refs", "pos", "lat", "lon", "tags"
     )
     n_part = max(config.shuffle_partitions, 16)
     ordered = resolved.repartition(n_part, "way_id").sortWithinPartitions("way_id", "pos")
@@ -155,6 +186,7 @@ def assemble_clean_simplify(
     def kernel(batches):
         cur_id = None
         cur_refs = 0
+        cur_tags = None
         lat_parts: list[np.ndarray] = []
         lon_parts: list[np.ndarray] = []
 
@@ -164,6 +196,7 @@ def assemble_clean_simplify(
                     "way_id": pd.Series(out["way_id"], dtype="int64"),
                     "lats": pd.Series(out["lats"], dtype=object),
                     "lons": pd.Series(out["lons"], dtype=object),
+                    "tags": pd.Series(out["tags"], dtype=object),
                 }
             )
 
@@ -180,13 +213,15 @@ def assemble_clean_simplify(
             out["way_id"].append(cur_id)
             out["lats"].append(r[0])
             out["lons"].append(r[1])
+            out["tags"].append(cur_tags)
 
         for pdf in batches:
-            out = {"way_id": [], "lats": [], "lons": []}
+            out = {"way_id": [], "lats": [], "lons": [], "tags": []}
             wid = pdf["way_id"].to_numpy()
             la = pdf["lat"].to_numpy(dtype=np.float64)
             lo = pdf["lon"].to_numpy(dtype=np.float64)
             nr = pdf["n_refs"].to_numpy()
+            tg = pdf["tags"]
             if wid.shape[0] == 0:
                 yield to_pdf(out)
                 continue
@@ -197,15 +232,21 @@ def assemble_clean_simplify(
                 if w != cur_id:
                     flush(out)
                     cur_id, cur_refs = w, int(nr[s])
+                    # the run's first row is the way's pos-0 row (rows are
+                    # contiguous and sorted by pos); a run starting past
+                    # pos 0 is a partial way — tags stay None and flush
+                    # drops it on the completeness check anyway
+                    cur_tags = tg.iloc[int(s)]
                     lat_parts, lon_parts = [], []
                 lat_parts.append(la[s:e])
                 lon_parts.append(lo[s:e])
             yield to_pdf(out)
-        out = {"way_id": [], "lats": [], "lons": []}
+        out = {"way_id": [], "lats": [], "lons": [], "tags": []}
         flush(out)
         yield to_pdf(out)
 
-    geoms = ordered.mapInPandas(
-        kernel, schema="way_id long, lats array<double>, lons array<double>"
+    return ordered.mapInPandas(
+        kernel,
+        schema="way_id long, lats array<double>, lons array<double>, "
+        "tags map<string,string>",
     )
-    return geoms.join(ways.select("way_id", "tags"), "way_id", "inner")

@@ -50,3 +50,25 @@ def test_fused_assembly_matches_two_pass(spark):
             ela, elo, etags = two_pass[wid]
             assert la == ela and lo == elo, wid  # bit-identical doubles
             assert tags == etags
+
+
+def test_assembly_join_never_broadcasts_exploded_refs(spark, tmp_path):
+    """Catalyst's size estimate does not grow through Generate(posexplode),
+    so with AQE off it saw the exploded-refs join side at pre-explode scan
+    size and auto-broadcast a 10^7-row HashedRelation — built single-threaded
+    on the driver (8-21 s zero-task wall per 100k-doc leg) and an OOM at
+    10^12-doc scale. The refs⋈nodes join must stay a SHUFFLED hash join, and
+    the fused path must carry tags through the kernel with no second join."""
+    cfg = EngineConfig(filter_waterway_types=False)
+    docs = docs_dataframe(spark, 120, DocsGenParams(seed=7))
+    p = str(tmp_path / "parsed")
+    parse_osm(docs, cfg).write.mode("overwrite").parquet(p)
+    parsed = spark.read.parquet(p)  # parquet-backed: the stats path that broke
+    out = assemble_clean_simplify(
+        ways_from_parsed(parsed, cfg), nodes_from_parsed(parsed), cfg
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan
+    # tags ride the kernel: exactly one join (refs⋈nodes) in the whole plan
+    assert plan.count("Join") == 1
