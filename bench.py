@@ -241,6 +241,11 @@ def _run_bench_body(
         s0, tk0 = _read_cpu_ticks()
         t_rep = time.time()
         t0 = time.time()
+        if os.environ.get("OSMWWE_STAGE_TIMING"):
+            # epoch marks bracket the MEASURED window so event-log zero-task
+            # holes (driver_holes.py --window) can be split into in-timer
+            # Amdahl serial loss vs untimed setup (probe, imports, docs scan)
+            print(f"[mark] pipeline_t0_epoch: {t0:.3f}", flush=True)
         g = WaterwayEngine(cfg).build_graph(docs, spark)
         # full-column materialization of the final edges table (cells +
         # covering) the way production lands it — noop sink computes every
@@ -255,6 +260,7 @@ def _run_bench_body(
         n_edges = g.edges.count()
         if os.environ.get("OSMWWE_STAGE_TIMING"):
             print(f"[stage] final_count: {time.time() - t_cnt:.2f}s", flush=True)
+            print(f"[mark] pipeline_end_epoch: {time.time():.3f}", flush=True)
         record("waterway_pipeline", time.time() - t0)
 
         t0 = time.time()

@@ -97,9 +97,21 @@ def neighbors(tasks, stage_names, t_ms: float, after: bool):
 
 
 def main() -> None:
+    # usage: driver_holes.py <eventlog> [min_hole_sec] [t0_epoch t1_epoch]
+    # The optional epoch pair (from bench.py's [mark] pipeline_*_epoch lines)
+    # clips the analysis to the MEASURED pipeline window, separating in-timer
+    # Amdahl serial loss from untimed setup (probe, imports, docs scan).
     path = sys.argv[1]
     min_hole = float(sys.argv[2]) if len(sys.argv) > 2 else 0.5
     tasks, stage_names = load_events(path)
+    if len(sys.argv) > 4:
+        w0, w1 = float(sys.argv[3]) * 1e3, float(sys.argv[4]) * 1e3
+        tasks = [
+            (max(lt, w0), min(ft, w1), sid)
+            for lt, ft, sid in tasks
+            if ft > w0 and lt < w1
+        ]
+        print(f"window-clipped to [{sys.argv[3]}, {sys.argv[4]}] epoch sec")
     gaps, span_s, total_gap_s = holes(tasks, min_hole * 1e3)
     print(
         f"tasks: {len(tasks)}  span(first-launch→last-finish): {span_s:.1f}s  "
