@@ -331,8 +331,18 @@ def _stage_task_times(eventlog_path: str) -> dict[str, float]:
                 kind = ev.get("Event")
                 if kind == "SparkListenerStageSubmitted":
                     si = ev["Stage Info"]
-                    id_to_name[(si["Stage ID"], si["Stage Attempt ID"])] = si.get(
-                        "Stage Name", "?"
+                    # the pipeline runs each logical stage in its own FAIR
+                    # scheduler pool (stage-parsed, stage-edges, ...), so the
+                    # pool name splits the otherwise-generic callsite keys
+                    # ("parquet at <unknown>" was 86% of anchor task time)
+                    # into per-operator buckets the tripwire can diff
+                    props = ev.get("Properties") or {}
+                    label = props.get("spark.job.description") or props.get(
+                        "spark.scheduler.pool", ""
+                    )
+                    name = si.get("Stage Name", "?")
+                    id_to_name[(si["Stage ID"], si["Stage Attempt ID"])] = (
+                        f"{label}|{name}" if label else name
                     )
                 elif kind == "SparkListenerTaskEnd":
                     name = id_to_name.get((ev["Stage ID"], ev["Stage Attempt ID"]), "?")

@@ -96,13 +96,22 @@ class WaterwayEngine:
             # construction + any eager work run OUTSIDE stage timers (e.g.
             # snap_map's block-kernel localCheckpoint + violation probe)
             print(f"[gap] before {name}: {t0 - self._t_prev_stage_end:.2f}s", flush=True)
-        if self.checkpointer is not None:
-            out = self.checkpointer.materialize(name, self.config, df)
-            self._last_stage_path = os.path.join(
-                self.checkpointer._stage_dir(name, self.config), "data"
-            )
-        else:
-            out = self._ephemeral_stage(name, df)
+        # label every job this stage submits (shows in the UI and the event
+        # log's job/stage Properties) so per-stage task time is attributable
+        # in event-log analyzers — without it, 86% of a 400k-doc anchor's
+        # task time keys to the generic "parquet at <unknown>" callsite
+        sc = df.sparkSession.sparkContext
+        sc.setLocalProperty("spark.job.description", f"stage-{name}")
+        try:
+            if self.checkpointer is not None:
+                out = self.checkpointer.materialize(name, self.config, df)
+                self._last_stage_path = os.path.join(
+                    self.checkpointer._stage_dir(name, self.config), "data"
+                )
+            else:
+                out = self._ephemeral_stage(name, df)
+        finally:
+            sc.setLocalProperty("spark.job.description", None)
         if os.environ.get("OSMWWE_STAGE_TIMING"):
             print(f"[stage] {name}: {time.time() - t0:.2f}s", flush=True)
         self._t_prev_stage_end = time.time()
