@@ -118,9 +118,13 @@ def test_gate_decision_rule():
     assert gate_decision(-1.0, 24.0, 1, 4) == (-1.0, False)
     assert not gate_decision(6.0, -1.0, 1, 4)[1]
 
-    # exactly-at-threshold opens (>= semantics)
-    ratio, open_ = gate_decision(1.0, 3.0, 1, 4)
+    # exactly-at-threshold opens (>= semantics); derive the probe value from
+    # GATE_RATIO so a recalibration (3.0 -> 3.4 before session 11) cannot
+    # desync this fixture again
+    ratio, open_ = gate_decision(1.0, GATE_RATIO * 1.0, 1, 4)
     assert ratio == pytest.approx(GATE_RATIO) and open_
+    # just-below-threshold stays closed
+    assert not gate_decision(1.0, GATE_RATIO - 0.01, 1, 4)[1]
 
 
 def test_no_window_session_record_renders_in_history(tmp_path, monkeypatch):
