@@ -136,26 +136,47 @@ def run_leg(cpus: int, cpuset: str, n_docs: int, out: dict) -> None:
 
 
 def one_round(levels: list[int], n_docs: int) -> dict:
-    cpusets, sel = pick_disjoint(levels)
     lo, hi = levels
-    ratio, open_ = gate_decision(sel.get("lo_gbps", -1), sel.get("hi_gbps", -1), 1, hi)
-    rec = {
-        "ts": time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime()),
-        "type": "concurrent_round_select",
-        "cpusets": {str(c): cpusets[c] for c in levels},
-        "lo_gbps": sel.get("lo_gbps"),
-        "hi_gbps": sel.get("hi_gbps"),
-        "gate_ratio_measured": round(ratio, 2),
-        "window_open": open_,
-    }
-    with open(PROBES_LOG, "a") as f:
-        f.write(json.dumps({**rec, "joint_probes": sel.get("joint_probes", {})}) + "\n")
-    print(
-        f"[concurrent] pins: {lo}cpu={cpusets[lo]} ({sel.get('lo_gbps')}GB/s)  "
-        f"{hi}cpu={cpusets[hi]} ({sel.get('hi_gbps')}GB/s)  "
-        f"ratio={ratio:.2f} {'OPEN' if open_ else 'closed'}",
-        flush=True,
-    )
+    # Round-5 extension, same scheduler principle as the sequential
+    # protocol's launch/per-leg gate (scaling_evidence GATE_RATIO): a round
+    # launched into a window where the upper cpuset is granted < GATE_RATIO x
+    # one core's bandwidth measures the hypervisor's QoS, not the engine —
+    # the upper leg physically cannot express 4x resources. Waiting for an
+    # expressible window is pure scheduling; the estimator (median paired
+    # round, steal-flagged rounds excluded) is untouched, so the gate cannot
+    # inflate a measurement — it only declines to burn a round. Bounded
+    # attempts; every selection probe, launched or not, is logged.
+    attempts = int(os.environ.get("SPARK_GRAFT_SCALING_LEG_GATE_ATTEMPTS", "8"))
+    gate_sleep = float(os.environ.get("SPARK_GRAFT_SCALING_LEG_GATE_SLEEP", "120"))
+    for attempt in range(1, attempts + 1):
+        cpusets, sel = pick_disjoint(levels)
+        ratio, open_ = gate_decision(
+            sel.get("lo_gbps", -1), sel.get("hi_gbps", -1), 1, hi
+        )
+        rec = {
+            "ts": time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime()),
+            "type": "concurrent_round_select",
+            "attempt": attempt,
+            "cpusets": {str(c): cpusets[c] for c in levels},
+            "lo_gbps": sel.get("lo_gbps"),
+            "hi_gbps": sel.get("hi_gbps"),
+            "gate_ratio_measured": round(ratio, 2),
+            "window_open": open_,
+        }
+        with open(PROBES_LOG, "a") as f:
+            f.write(
+                json.dumps({**rec, "joint_probes": sel.get("joint_probes", {})}) + "\n"
+            )
+        print(
+            f"[concurrent] pins: {lo}cpu={cpusets[lo]} ({sel.get('lo_gbps')}GB/s)  "
+            f"{hi}cpu={cpusets[hi]} ({sel.get('hi_gbps')}GB/s)  "
+            f"ratio={ratio:.2f} {'OPEN' if open_ else 'closed'}"
+            f" (attempt {attempt}/{attempts})",
+            flush=True,
+        )
+        if open_ or attempt == attempts:
+            break
+        time.sleep(gate_sleep)
     leg_cpus = [int(c) for cs in cpusets.values() for c in cs.split(",")]
     sweep = sel.get("sweep") or {}
     spare_pool = [c for c in sorted(sweep, key=lambda c: -sweep[c])] or None
