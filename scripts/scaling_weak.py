@@ -40,6 +40,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from scaling_evidence import (
+    GATE_RATIO,
     PROBES_LOG,
     STEAL_FLAG_PCT,
     one_level,
@@ -96,13 +97,37 @@ def main() -> None:
     for i in range(reps):
         legs = {}
         for c in levels:
-            cpuset, sel = select_cpuset(c)
-            with open(PROBES_LOG, "a") as f:
-                f.write(json.dumps({
-                    "ts": time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime()),
-                    "type": "weak_leg_select", "level": c, "cpuset": cpuset,
-                    "gbps": sel.get("gbps", -1.0),
-                }) + "\n")
+            # Same per-leg window gate as the other two protocols (round-5
+            # extension): a multi-cpu leg only launches when its selected
+            # cpuset's joint bandwidth >= GATE_RATIO x the best single core
+            # in the same sweep — otherwise the leg measures the
+            # hypervisor's QoS grant, not the engine. Scheduler only; the
+            # median-round estimator is untouched. Bounded attempts, every
+            # probe logged.
+            attempts = int(os.environ.get("SPARK_GRAFT_SCALING_LEG_GATE_ATTEMPTS", "8"))
+            gate_sleep = float(os.environ.get("SPARK_GRAFT_SCALING_LEG_GATE_SLEEP", "120"))
+            for attempt in range(1, attempts + 1):
+                cpuset, sel = select_cpuset(c)
+                sweep = sel.get("sweep") or {}
+                best_core = max(sweep.values()) if sweep else -1.0
+                ratio = (sel.get("gbps", -1.0) / best_core) if best_core > 0 else -1.0
+                open_ = c == 1 or ratio >= GATE_RATIO
+                with open(PROBES_LOG, "a") as f:
+                    f.write(json.dumps({
+                        "ts": time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime()),
+                        "type": "weak_leg_select", "level": c, "cpuset": cpuset,
+                        "gbps": sel.get("gbps", -1.0), "attempt": attempt,
+                        "gate_ratio_measured": round(ratio, 2), "window_open": open_,
+                    }) + "\n")
+                if open_ or attempt == attempts:
+                    break
+                print(
+                    f"[weak leg-gate] cpus={c} window closed "
+                    f"(ratio {ratio:.2f} < {GATE_RATIO}); waiting "
+                    f"(attempt {attempt}/{attempts})",
+                    flush=True,
+                )
+                time.sleep(gate_sleep)
             os.environ["SPARK_GRAFT_DOCS_PATH"] = paths[c]
             r = one_level(c, docs[c], cpuset, sel)
             legs[c] = r
