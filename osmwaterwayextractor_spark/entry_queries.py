@@ -365,13 +365,26 @@ UNION ALL SELECT level, cell, cast(n AS BIGINT) AS n FROM parent
 """
 
 
-def _derived_points(spark, sf_dir):
-    return (
+def _derived_points(spark, sf_dir, spread: bool = False):
+    """``spread=True`` round-robins the points over the session's core count
+    before the quadratic candidate-generation work downstream. The derived
+    tables are ONE small parquet file, so every scan is a single input split
+    (parquet row-group granularity) — and the ε/kNN ring joins then evaluate
+    their whole candidate set inside that one task (round-6 plan audit: the
+    ring side was broadcast and the single-split home-cell side probed ~16M
+    candidate distance tests single-threaded; guide §2.5 input skew / §1.1
+    "decide where the time goes"). The repartition shuffles only the tiny
+    base rows (linear), never the candidates (quadratic), and the count
+    derives from the session, not a constant."""
+    pts = (
         _t(spark, sf_dir, "customer")
         .select("c_custkey")
         .withColumn("lat", F.expr(LAT_SQL))
         .withColumn("lon", F.expr(LON_SQL))
     )
+    if spread:
+        pts = pts.repartition(spark.sparkContext.defaultParallelism)
+    return pts
 
 
 def q_epsilon_pairs(spark, sf_dir, eps_m: float = 1000.0):
@@ -379,7 +392,7 @@ def q_epsilon_pairs(spark, sf_dir, eps_m: float = 1000.0):
     ε-pair pattern on SQL-derivable points; oracle = brute-force cross join)."""
     from .functions.tiling import join_grid_level
 
-    pts = _derived_points(spark, sf_dir)
+    pts = _derived_points(spark, sf_dir, spread=True)
     # derived points span lat ∈ [50.0, 50.2) by construction (LAT_SQL), so
     # the radius-calibrated grid level is static: ring-1 neighborhoods are
     # guaranteed to cover eps_m in BOTH axes at the band's max |lat|.
@@ -485,7 +498,7 @@ def q_knn_top1(spark, sf_dir):
     from .functions.tiling import cell_width_deg, join_grid_level
     from .operators.cluster import _cell_expr, _ring_cells_expr
 
-    pts = _derived_points(spark, sf_dir)
+    pts = _derived_points(spark, sf_dir, spread=True)
     q = pts.where(F.col("c_custkey") % 30 == 0).select(
         F.col("c_custkey").alias("qkey"), F.col("lat").alias("lat_a"), F.col("lon").alias("lon_a")
     )
@@ -496,11 +509,16 @@ def q_knn_top1(spark, sf_dir):
     def _ring_top1(queries, level):
         left = queries.withColumn("cell", F.explode(_ring_cells_expr("lat_a", "lon_a", level)))
         right = c.withColumn("cell", _cell_expr("lat_b", "lon_b", level))
+        # No candidate distinct: the right side carries exactly ONE home cell
+        # per point and the left ring array is array_distinct, so a (q, n)
+        # pair meets in at most one cell — and rank-1 row_number output is
+        # duplicate-invariant anyway. The old distinct shuffled the FULL
+        # multi-million-row candidate set before the window (guide §2.4:
+        # "a distinct on data that is already unique").
         scored = (
             left.join(right, "cell")
             .where(F.col("qkey") != F.col("nkey"))
             .drop("cell")
-            .distinct()
             .withColumn("dist_m", F.round(F.expr(DIST_SQL), 6))
         )
         w = Window.partitionBy("qkey").orderBy("dist_m", "nkey")
@@ -512,7 +530,12 @@ def q_knn_top1(spark, sf_dir):
 
     level = join_grid_level(2000.0, 50.2)  # = 12; guarantee below
     guarantee_m = cell_width_deg(level) * 111000.0 * 0.6401  # cos(50.2°) lower bound
-    top = _ring_top1(q, level)
+    # Materialize the level-12 top-1 once (tiny: ≤1 row per query point).
+    # It feeds BOTH the resolved filter and the residual anti-join; without
+    # the checkpoint Catalyst re-executed the whole ring-join+window subtree
+    # for each consumer (round-6 plan audit: three copies of the candidate
+    # join in one plan — guide §5 localCheckpoint for reused intermediates).
+    top = _ring_top1(q, level).localCheckpoint(eager=True)
     resolved = top.where(F.col("dist_m") <= F.lit(guarantee_m))
     residual_q = q.join(resolved.select("qkey"), "qkey", "left_anti")
     fallback = _ring_top1(residual_q, 9)  # level-9 ring-1 ⊇ the data bbox
@@ -803,7 +826,12 @@ def q_waterway_knn_dangling(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # Single-file documents table → single-split scan; spread it so the
+    # shingle explode + xxhash64 pass (the operator's first, Python-free but
+    # CPU-heavy stage) parallelizes (guide §2.5 input skew).
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return dedup.minhash_lsh_pairs(docs, threshold=0.5).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -815,7 +843,14 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_lsh_ann(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    # Spread the corpus over the session's cores before the 32 hyperplane
+    # dot products per row: the embeddings table is one parquet file, so the
+    # bucket computation (interpreted higher-order aggregates, the query's
+    # dominant cost) otherwise runs in a single scan task feeding the
+    # broadcast build (round-6 plan audit; guide §2.5 input skew).
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     q = emb.where(F.col("vec_id") < 20)
     # dim is a testdata contract (TESTDATA.md embeddings: array<float> of 64)
     # — passed statically so plan construction runs no driver action

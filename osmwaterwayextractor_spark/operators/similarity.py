@@ -83,28 +83,52 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _plane_dot_sql(vec_col: str, plane: np.ndarray) -> str:
+    """Left-to-right fold dot product as ONE SQL string. Same Catalyst tree
+    as the old stacked-Column construction (zip_with multiply, aggregate
+    (acc, x) -> acc + x from 0.0D), so the resulting double — and therefore
+    every sign-bit bucket — is bit-identical. ``repr(float)`` round-trips
+    IEEE doubles exactly and the D suffix keeps the parser off the decimal
+    path."""
+    lits = ", ".join(f"{float(x)!r}D" for x in plane)
+    return (
+        f"aggregate(zip_with({vec_col}, array({lits}), (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _bucket_sql(vec_col: str, planes: np.ndarray) -> str:
+    """Sign-bit bucket key as a long — one SQL string per bucket."""
+    terms = " + ".join(
+        f"(CASE WHEN {_plane_dot_sql(vec_col, p)} >= 0 THEN "
+        f"CAST({2 ** i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i, p in enumerate(planes)
+    )
+    return f"(CAST(0 AS BIGINT) + {terms})"
+
+
 def _bucket_col(vec_col: str, planes: np.ndarray):
-    """Sign-bit bucket key as a long — dot products via zip_with literals."""
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in p])
-        dot = F.aggregate(
-            F.zip_with(vec_col, lit_plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        )
-        bucket = bucket + F.when(dot >= 0, F.lit(2**i).cast("long")).otherwise(0)
-    return bucket
+    """Sign-bit bucket key as a long — dot products via zip_with literals.
+
+    Authored as ONE SQL string (F.expr), not stacked Column ops: the DSL
+    version cost ~75 py4j driver round-trips PER PLANE (64 F.lit calls for
+    the literal array alone), ~3 s of driver-serial plan construction per
+    lsh_cosine_topk call at 32 planes (guide §1.2 step 2 / the round-5
+    _intersect_catalyst lesson). One JVM parse builds the identical tree."""
+    return F.expr(_bucket_sql(vec_col, planes))
 
 
 def _table_buckets(vec_col: str, dim: int, n_planes: int, n_tables: int, seed: int):
     """Array of (table, bucket) structs — one bucket per hash table (standard
-    OR-construction: a candidate pair needs to collide in ≥1 table)."""
+    OR-construction: a candidate pair needs to collide in ≥1 table). One SQL
+    string → one py4j round-trip (see _bucket_col)."""
     entries = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
         entries.append(
-            F.struct(F.lit(t).alias("table"), _bucket_col(vec_col, planes).alias("bucket"))
+            f"struct(CAST({t} AS INT) AS table, {_bucket_sql(vec_col, planes)} AS bucket)"
         )
-    return F.array(*entries)
+    return F.expr("array(" + ", ".join(entries) + ")")
 
 
 def lsh_cosine_topk(
