@@ -66,6 +66,76 @@ def simplify_dp(lats: np.ndarray, lons: np.ndarray, tolerance_deg: float) -> np.
     return keep
 
 
+def simplify_dp_batch(
+    lats: np.ndarray, lons: np.ndarray, offsets: np.ndarray, tolerance_deg: float
+) -> np.ndarray:
+    """Douglas-Peucker keep-mask for MANY polylines at once.
+
+    ``lats``/``lons`` are the concatenated vertices of W polylines;
+    ``offsets`` (len W+1, int64) bounds polyline w as [offsets[w], offsets[w+1]).
+    Returns one boolean keep-mask over all vertices.
+
+    Level-synchronous formulation of ``simplify_dp``: one round processes
+    EVERY active (i, j) span across every polyline with whole-batch ufuncs
+    and segmented reductions, instead of a Python iteration per span. The
+    per-vertex arithmetic — cross/seg_len_sq perpendicular distance, the
+    degenerate seg_len_sq == 0 fallback, the strictly-greater tolerance
+    test, first-index tie-break — is the same IEEE-754 operation dag as the
+    scalar kernel, so the mask is bit-identical (pinned by
+    tests/test_round6_optimizations.py). Motivation: the per-way loop cost
+    ~8 µs of NumPy small-slice overhead per VERTEX (round-6 profile: 92% of
+    the fused assembly kernel; guide §4.2 — hand whole batches to
+    vectorized kernels)."""
+    x = np.asarray(lons, dtype=np.float64)
+    y = np.asarray(lats, dtype=np.float64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = x.shape[0]
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    starts, ends = offsets[:-1], offsets[1:]
+    nonempty = ends > starts
+    keep[starts[nonempty]] = True
+    keep[ends[nonempty] - 1] = True
+    ai = starts[nonempty].astype(np.int64)
+    aj = (ends[nonempty] - 1).astype(np.int64)
+    live = aj > ai + 1
+    ai, aj = ai[live], aj[live]
+    tol_sq = tolerance_deg * tolerance_deg
+    while ai.size:
+        counts = aj - ai - 1
+        offs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])
+        total = int(offs[-1])
+        segid = np.repeat(np.arange(ai.size, dtype=np.int64), counts)
+        within = np.arange(total, dtype=np.int64) - offs[segid]
+        k = ai[segid] + 1 + within
+        xi, yi = x[ai], y[ai]
+        dxs, dys = x[aj] - xi, y[aj] - yi
+        seg_len_sq = dxs * dxs + dys * dys
+        px, py = x[k], y[k]
+        xi_r, yi_r = xi[segid], yi[segid]
+        dx_r, dy_r = dxs[segid], dys[segid]
+        sls_r = seg_len_sq[segid]
+        cross = (px - xi_r) * dy_r - (py - yi_r) * dx_r
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d_line = cross * cross / sls_r
+        d_pt = (px - xi_r) ** 2 + (py - yi_r) ** 2
+        d_sq = np.where(sls_r == 0.0, d_pt, d_line)
+        mx = np.maximum.reduceat(d_sq, offs[:-1])
+        # first index achieving the max (np.argmax tie semantics)
+        first_within = np.minimum.reduceat(
+            np.where(d_sq == mx[segid], within, total), offs[:-1]
+        )
+        split = mx > tol_sq
+        mids = (ai + 1 + first_within)[split]
+        keep[mids] = True
+        new_ai = np.concatenate([ai[split], mids])
+        new_aj = np.concatenate([mids, aj[split]])
+        live = new_aj > new_ai + 1
+        ai, aj = new_ai[live], new_aj[live]
+    return keep
+
+
 def segment_intersections(
     a1: np.ndarray, a2: np.ndarray, b1: np.ndarray, b2: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:

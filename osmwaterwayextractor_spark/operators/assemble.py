@@ -163,7 +163,6 @@ def assemble_clean_simplify(
     first row after the (way_id, pos) sort carries the tags; partial ways
     are dropped before tags are read."""
     from ..functions.geometry import M_TO_DEG
-    from .geometry_ops import clean_simplify_arrays
 
     simplify_on = config.enable_geometry_simplification
     tol = config.simplification_tolerance_m * M_TO_DEG
@@ -183,6 +182,8 @@ def assemble_clean_simplify(
     n_part = max(config.shuffle_partitions, 16)
     ordered = resolved.repartition(n_part, "way_id").sortWithinPartitions("way_id", "pos")
 
+    from .geometry_ops import clean_simplify_concat
+
     def kernel(batches):
         cur_id = None
         cur_refs = 0
@@ -190,47 +191,72 @@ def assemble_clean_simplify(
         lat_parts: list[np.ndarray] = []
         lon_parts: list[np.ndarray] = []
 
-        def to_pdf(out):
+        def process(ids, tags_list, la_list, lo_list):
+            """Complete raw ways → cleaned/simplified output frame. The
+            clean+simplify math runs ONCE over the batch's concatenated
+            vertex arrays (clean_simplify_concat) — the old per-way
+            clean_simplify_arrays loop was 92% of this kernel's wall
+            (round-6 cProfile; guide §4.2 whole-batch vectorization)."""
+            if not ids:
+                return pd.DataFrame(
+                    {
+                        "way_id": pd.Series([], dtype="int64"),
+                        "lats": pd.Series([], dtype=object),
+                        "lons": pd.Series([], dtype=object),
+                        "tags": pd.Series([], dtype=object),
+                    }
+                )
+            la_cat = np.concatenate(la_list)
+            lo_cat = np.concatenate(lo_list)
+            lens = np.fromiter((a.shape[0] for a in la_list), dtype=np.int64)
+            offs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
+            la_out, lo_out, offs_out, way_ok = clean_simplify_concat(
+                la_cat, lo_cat, offs, simplify_on, tol
+            )
+            if not way_ok.any():
+                return process([], [], [], [])
+            cuts = offs_out[1:-1]
             return pd.DataFrame(
                 {
-                    "way_id": pd.Series(out["way_id"], dtype="int64"),
-                    "lats": pd.Series(out["lats"], dtype=object),
-                    "lons": pd.Series(out["lons"], dtype=object),
-                    "tags": pd.Series(out["tags"], dtype=object),
+                    "way_id": pd.Series(
+                        [i for i, ok in zip(ids, way_ok) if ok], dtype="int64"
+                    ),
+                    "lats": pd.Series(np.split(la_out, cuts), dtype=object),
+                    "lons": pd.Series(np.split(lo_out, cuts), dtype=object),
+                    "tags": pd.Series(
+                        [t for t, ok in zip(tags_list, way_ok) if ok], dtype=object
+                    ),
                 }
             )
 
-        def flush(out):
+        def flush(ids, tags_list, la_list, lo_list):
             if cur_id is None:
                 return
             la = np.concatenate(lat_parts) if len(lat_parts) > 1 else lat_parts[0]
             lo = np.concatenate(lon_parts) if len(lon_parts) > 1 else lon_parts[0]
             if la.shape[0] != cur_refs:  # partial way (missing refs)
                 return
-            r = clean_simplify_arrays(la, lo, simplify_on, tol)
-            if r is None:
-                return
-            out["way_id"].append(cur_id)
-            out["lats"].append(r[0])
-            out["lons"].append(r[1])
-            out["tags"].append(cur_tags)
+            ids.append(cur_id)
+            tags_list.append(cur_tags)
+            la_list.append(la)
+            lo_list.append(lo)
 
         for pdf in batches:
-            out = {"way_id": [], "lats": [], "lons": [], "tags": []}
+            ids, tags_list, la_list, lo_list = [], [], [], []
             wid = pdf["way_id"].to_numpy()
             la = pdf["lat"].to_numpy(dtype=np.float64)
             lo = pdf["lon"].to_numpy(dtype=np.float64)
             nr = pdf["n_refs"].to_numpy()
             tg = pdf["tags"]
             if wid.shape[0] == 0:
-                yield to_pdf(out)
+                yield process(ids, tags_list, la_list, lo_list)
                 continue
             starts = np.concatenate([[0], np.nonzero(wid[1:] != wid[:-1])[0] + 1])
             ends = np.concatenate([starts[1:], [wid.shape[0]]])
             for s, e in zip(starts, ends):
                 w = int(wid[s])
                 if w != cur_id:
-                    flush(out)
+                    flush(ids, tags_list, la_list, lo_list)
                     cur_id, cur_refs = w, int(nr[s])
                     # the run's first row is the way's pos-0 row (rows are
                     # contiguous and sorted by pos); a run starting past
@@ -240,10 +266,10 @@ def assemble_clean_simplify(
                     lat_parts, lon_parts = [], []
                 lat_parts.append(la[s:e])
                 lon_parts.append(lo[s:e])
-            yield to_pdf(out)
-        out = {"way_id": [], "lats": [], "lons": [], "tags": []}
-        flush(out)
-        yield to_pdf(out)
+            yield process(ids, tags_list, la_list, lo_list)
+        ids, tags_list, la_list, lo_list = [], [], [], []
+        flush(ids, tags_list, la_list, lo_list)
+        yield process(ids, tags_list, la_list, lo_list)
 
     return ordered.mapInPandas(
         kernel,
