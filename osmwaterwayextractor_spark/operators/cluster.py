@@ -302,67 +302,118 @@ def _snap_map_blocks(
 
     # replication + cluster ownership stay at the BLOCK grid (edge ≥
     # D + 2·tol — the completeness proof's level); the prune level above is
-    # only a point filter
+    # only a point filter. The point's own home block is NOT shuffled — the
+    # kernel recomputes it vectorized from (lat, lon) with the same
+    # wrap/clamp normalization as _cell_expr, saving 8 of 32 bytes per
+    # replicated row across the exchange (guide §2.3 shuffle fewer bytes).
     replicated = hot.select(
         "lat",
         "lon",
-        _cell_expr("lat", "lon", level).alias("home"),
         F.explode(_ring_cells_expr("lat", "lon", level)).alias("block"),
     )
 
     from ..functions.clustering import UnionFind, epsilon_pairs
 
+    # blocks up to this size take the vectorized all-pairs path; bigger
+    # blocks (dense areas) keep the per-block grid-bucket kernel whose
+    # candidate count stays near-linear
+    BRUTE_CAP = 48
+
+    def _home_cells_np(plats: np.ndarray, plons: np.ndarray) -> np.ndarray:
+        """NumPy twin of _cell_expr(level): floor → java-style %-wrap → clamp.
+        NumPy's % is already a positive floor-mod for positive divisors, so
+        ((x % nx) + nx) % nx collapses to the same canonical value."""
+        w = cell_width_deg(level)
+        nx = np.int64(2 << level)
+        ny = np.int64(1 << level)
+        x = np.floor((plons + 180.0) / w).astype(np.int64)
+        y = np.floor((plats + 90.0) / w).astype(np.int64)
+        xx = ((x % nx) + nx) % nx
+        yy = np.clip(y, 0, ny - 1)
+        return (
+            np.int64(level) * np.int64(1 << 52) + (xx << np.int64(X_SHIFT)) + yy
+        )
+
     def _process(pdf: pd.DataFrame) -> pd.DataFrame:
         """Rows SORTED by block (one or many whole blocks) → emitted snap
-        rows. Per-block logic identical to the proof in the snap_map
-        docstring; iterating block slices of one sorted NumPy batch instead
-        of one applyInPandas group per block — at worldwide scale the block
-        grid has 10^5-10^6 occupied cells and per-group pandas construction
-        overhead dominated the whole clustering stage (round-3 measurement:
-        minutes of kernel wall at 10^5 docs)."""
+        rows. Same output as the original per-block loop — the ε-pair set
+        per block is exactly {(i,j): geodesic ≤ tol} and union-find roots
+        are order-canonical (min member index) — but candidate pairs for
+        small blocks are generated for the WHOLE batch at once (size-grouped
+        triu indices), the exact geodesic filter runs as ONE vectorized call,
+        and union-find runs once over the points that appear in any pair.
+        The old loop paid ~500 µs of grid-bucket machinery per block at an
+        average block size of ~2 (round-6 cProfile: 8,411 blocks, 85% of
+        kernel wall in epsilon_pairs/k_ring/cell_id setup; guide §4.2)."""
         lats = pdf["lat"].to_numpy(dtype=np.float64)
         lons = pdf["lon"].to_numpy(dtype=np.float64)
-        homes = pdf["home"].to_numpy(dtype=np.int64)
         blocks = pdf["block"].to_numpy(dtype=np.int64)
         out = {"lat": [], "lon": [], "snap_lat": [], "snap_lon": [], "viol": []}
-        bstarts = np.concatenate(
-            [[0], np.nonzero(np.diff(blocks))[0] + 1, [blocks.shape[0]]]
-        )
-        for bs, be in zip(bstarts[:-1], bstarts[1:]):
-            if be - bs < 2:
-                continue  # singleton block: no pairs possible
-            block = int(blocks[bs])
-            blat, blon, bhome = lats[bs:be], lons[bs:be], homes[bs:be]
-            li, lj = epsilon_pairs(blat, blon, tol)
-            if not li.shape[0]:
+        n = blocks.shape[0]
+        if n == 0:
+            return pd.DataFrame(out)
+        bstarts = np.concatenate([[0], np.nonzero(np.diff(blocks))[0] + 1, [n]])
+        starts = bstarts[:-1]
+        sizes = np.diff(bstarts)
+        gi_parts: list[np.ndarray] = []
+        gj_parts: list[np.ndarray] = []
+        small = (sizes >= 2) & (sizes <= BRUTE_CAP)
+        for k in np.unique(sizes[small]):
+            s_k = starts[small & (sizes == k)]
+            iu, ju = np.triu_indices(int(k), 1)
+            gi_parts.append((s_k[:, None] + iu[None, :]).ravel())
+            gj_parts.append((s_k[:, None] + ju[None, :]).ravel())
+        if gi_parts:
+            ci = np.concatenate(gi_parts)
+            cj = np.concatenate(gj_parts)
+            d = geodesic_m(lats[ci], lons[ci], lats[cj], lons[cj])
+            keep = d <= tol
+            gi_parts, gj_parts = [ci[keep]], [cj[keep]]
+        for bs, k in zip(starts[sizes > BRUTE_CAP], sizes[sizes > BRUTE_CAP]):
+            li, lj = epsilon_pairs(lats[bs : bs + k], lons[bs : bs + k], tol)
+            if li.shape[0]:
+                gi_parts.append(bs + li)
+                gj_parts.append(bs + lj)
+        if not gi_parts:
+            return pd.DataFrame(out)
+        pi = np.concatenate(gi_parts)
+        pj = np.concatenate(gj_parts)
+        if not pi.shape[0]:
+            return pd.DataFrame(out)
+        # union-find over the involved points only (compact ids); the root
+        # of a component is its minimum index either way, so clusters match
+        # the per-block formulation exactly
+        iv = np.unique(np.concatenate([pi, pj]))
+        uf = UnionFind(iv.shape[0])
+        for x, y in zip(
+            np.searchsorted(iv, pi).tolist(), np.searchsorted(iv, pj).tolist()
+        ):
+            uf.union(x, y)
+        labels = uf.labels()
+        order = np.argsort(labels, kind="stable")
+        slab = labels[order]
+        cb = np.concatenate([[0], np.nonzero(np.diff(slab))[0] + 1, [slab.shape[0]]])
+        homes = _home_cells_np(lats[iv], lons[iv])  # home of each involved point
+        for s, e in zip(cb[:-1], cb[1:]):
+            idx = order[s:e]  # compact ids, ascending ⇒ global order preserved
+            if idx.shape[0] < 2:
                 continue
-            uf = UnionFind(blat.shape[0])
-            for x, y in zip(li.tolist(), lj.tolist()):
-                uf.union(x, y)
-            labels = uf.labels()
-            order = np.argsort(labels, kind="stable")
-            slab = labels[order]
-            starts = np.concatenate(
-                [[0], np.nonzero(np.diff(slab))[0] + 1, [slab.shape[0]]]
+            g = iv[idx]
+            mlat, mlon = lats[g], lons[g]
+            block = int(blocks[g[0]])  # members share one block by construction
+            mloc = np.lexsort((mlon, mlat))[0]
+            if int(homes[idx[mloc]]) != block:
+                continue  # owned (and emitted) by another block
+            cla, clo = centroid_of_members(mlat, mlon)
+            disp = geodesic_m(
+                mlat, mlon, np.full(g.shape[0], cla), np.full(g.shape[0], clo)
             )
-            for s, e in zip(starts[:-1], starts[1:]):
-                idx = order[s:e]
-                if idx.shape[0] < 2:
-                    continue
-                mlat, mlon = blat[idx], blon[idx]
-                mmin = idx[np.lexsort((mlon, mlat))[0]]
-                if int(bhome[mmin]) != block:
-                    continue  # owned (and emitted) by another block
-                cla, clo = centroid_of_members(mlat, mlon)
-                disp = geodesic_m(
-                    mlat, mlon, np.full(idx.shape[0], cla), np.full(idx.shape[0], clo)
-                )
-                viol = 1 if float(disp.max()) > r_disp else 0
-                out["lat"].extend(mlat.tolist())
-                out["lon"].extend(mlon.tolist())
-                out["snap_lat"].extend([cla] * idx.shape[0])
-                out["snap_lon"].extend([clo] * idx.shape[0])
-                out["viol"].extend([viol] * idx.shape[0])
+            viol = 1 if float(disp.max()) > r_disp else 0
+            out["lat"].extend(mlat.tolist())
+            out["lon"].extend(mlon.tolist())
+            out["snap_lat"].extend([cla] * g.shape[0])
+            out["snap_lon"].extend([clo] * g.shape[0])
+            out["viol"].extend([viol] * g.shape[0])
         return pd.DataFrame(out)
 
     def kernel(batches):
