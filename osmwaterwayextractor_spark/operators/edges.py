@@ -199,11 +199,15 @@ def build_edges(ways: DataFrame, snap: DataFrame, config: EngineConfig) -> DataF
 
     def kernel(batches):
         for pdf in batches:
-            # pass 1 (per way, cheap): find cut slices; collect segment
-            # endpoints + metadata so hashing/geodesics run ONCE per batch
-            f_lat, f_lon, t_lat, t_lon = [], [], [], []
-            wids, ks, lengths = [], [], []
-            seg_lats, seg_lons, meta = [], [], []
+            # pass 1 (per way, cheap): validate, find cut indices, stage the
+            # coordinate arrays. The geodesic runs ONCE over the whole
+            # batch's concatenated consecutive-vertex pairs below — the old
+            # per-way call paid ~300 µs of Vincenty iteration machinery per
+            # way (round-6 cProfile: 87% of this kernel's wall; guide §4.2).
+            # geodesic_m is per-element masked, so batched values are
+            # bit-identical to the per-way slices.
+            way_la, way_lo, way_jidx = [], [], []
+            way_meta = []  # (way_id, name, typ, wraw, wm, wsrc)
             for way_id, lats, lons, cuts, name, typ, wraw, wm, wsrc in zip(
                 pdf["way_id"], pdf["lats_m"], pdf["lons_m"], pdf["cuts"],
                 pdf["name"], pdf["type"], pdf["width_raw"], pdf["width_m"], pdf["width_source"],
@@ -218,19 +222,46 @@ def build_edges(ways: DataFrame, snap: DataFrame, config: EngineConfig) -> DataF
                 jidx = np.nonzero(ct)[0]
                 if jidx.shape[0] < 2:
                     continue
-                seg_d = geodesic_m(la[:-1], lo[:-1], la[1:], lo[1:])
-                for k in range(jidx.shape[0] - 1):
-                    s, e = int(jidx[k]), int(jidx[k + 1])
-                    if e <= s:
-                        continue
-                    length = float(np.add.reduce(seg_d[s:e]))
-                    if length < min_len:
-                        continue
-                    f_lat.append(la[s]); f_lon.append(lo[s])
-                    t_lat.append(la[e]); t_lon.append(lo[e])
-                    wids.append(way_id); ks.append(k); lengths.append(length)
-                    seg_lats.append(la[s : e + 1]); seg_lons.append(lo[s : e + 1])
-                    meta.append((name, typ, wraw, wm, wsrc))
+                way_la.append(la)
+                way_lo.append(lo)
+                way_jidx.append(jidx)
+                way_meta.append((way_id, name, typ, wraw, wm, wsrc))
+
+            f_lat, f_lon, t_lat, t_lon = [], [], [], []
+            wids, ks, lengths = [], [], []
+            seg_lats, seg_lons, meta = [], [], []
+            if way_la:
+                la_cat = np.concatenate(way_la)
+                lo_cat = np.concatenate(way_lo)
+                # one geodesic over every consecutive pair; pairs straddling
+                # a way boundary are never read (a way spanning [o, o+n)
+                # only reads seg_all[o : o+n-1]) — zero them out so a
+                # near-antipodal cross-way pair can't drag the whole batch
+                # through Vincenty's 200-iteration non-convergence path
+                la1, lo1 = la_cat[:-1].copy(), lo_cat[:-1].copy()
+                la2, lo2 = la_cat[1:].copy(), lo_cat[1:].copy()
+                lens = np.fromiter((a.shape[0] for a in way_la), dtype=np.int64)
+                bnd = np.cumsum(lens)[:-1] - 1
+                for arr in (la1, lo1, la2, lo2):
+                    arr[bnd] = 0.0
+                seg_all = geodesic_m(la1, lo1, la2, lo2)
+                off = 0
+                for (way_id, name, typ, wraw, wm, wsrc), la, lo, jidx in zip(
+                    way_meta, way_la, way_lo, way_jidx
+                ):
+                    for k in range(jidx.shape[0] - 1):
+                        s, e = int(jidx[k]), int(jidx[k + 1])
+                        if e <= s:
+                            continue
+                        length = float(np.add.reduce(seg_all[off + s : off + e]))
+                        if length < min_len:
+                            continue
+                        f_lat.append(la[s]); f_lon.append(lo[s])
+                        t_lat.append(la[e]); t_lon.append(lo[e])
+                        wids.append(way_id); ks.append(k); lengths.append(length)
+                        seg_lats.append(la[s : e + 1]); seg_lons.append(lo[s : e + 1])
+                        meta.append((name, typ, wraw, wm, wsrc))
+                    off += la.shape[0]
             if not wids:
                 yield pd.DataFrame(
                     {k: [] for k in (
