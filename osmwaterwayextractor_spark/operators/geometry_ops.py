@@ -397,8 +397,11 @@ def detect_intersections(
     # NOTE: pairs sharing several cover cells are tested more than once — the
     # exact kernel is cheap and vectorized, and the output points are
     # distinct()ed below, so skipping a wide 8-double dedup shuffle here wins.
+    # shuffle_hash: both sides come out of the SAME reused exchange; hashing
+    # one partition-copy beats the SMJ's two 12M-row sorts whose ordering no
+    # downstream operator uses (guide §3.1; interleaved A/B at 100k docs).
     pairs = (
-        a.join(b, F.col("a.cell") == F.col("b.cell"))
+        a.join(b.hint("shuffle_hash"), F.col("a.cell") == F.col("b.cell"))
         .where(F.col("a.way_id") < F.col("b.way_id"))
         .select(
             F.col("a.way_id").alias("way_a"),
@@ -529,7 +532,13 @@ def insert_intersections(
         .groupBy("way_id")
         .agg(F.collect_list(F.struct("plat", "plon")).alias("cand_pts"))
     )
-    enriched = ways.join(cand, "way_id", "left")
+    # Shuffled hash join, not sort-merge: the build side (cand — one row
+    # per way that has candidate points, bounded by real crossings) is
+    # small per partition, and the probe side is the FULL way-geometry
+    # table whose coordinate-array payload the SMJ would otherwise sort
+    # (guide §3.1; interleaved A/B at 100k docs: the sort-free plan wins
+    # and the ordering of the heavy rows buys nothing downstream).
+    enriched = ways.join(cand.hint("shuffle_hash"), "way_id", "left")
 
     def kernel(batches):
         for pdf in batches:
