@@ -91,10 +91,15 @@ def _osm_parse_kernel(precision: int):
         return pd.Series(np.full(n, np.nan)).astype("Int64")
 
     def kernel(batches):
+        # node and way frames are yielded SEPARATELY (mapInPandas accepts
+        # any number of frames per input batch; row order is unchanged —
+        # nodes then ways, as the old concatenated frame emitted them):
+        # pd.concat on frames with mostly-None object columns scanned every
+        # element through is_valid_na_for_dtype — ~60% of this kernel's
+        # profiled Python wall at 100k docs (guide §4.2).
         for pdf in batches:
             kinds = pdf["kind"].to_numpy()
             texts = pdf["text"]
-            outs = []
             nmask = kinds == "osm_node"
             if nmask.any():
                 blob = ("\n".join(texts[nmask])).encode("utf-8")
@@ -102,18 +107,16 @@ def _osm_parse_kernel(precision: int):
                     io.BytesIO(blob), read_options=ropts, parse_options=node_popts
                 )
                 n = len(tbl)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "kind": np.repeat("osm_node", n),
-                            "node_id": tbl.column("id").to_numpy(),
-                            "lat": round_coords(tbl.column("lat").to_numpy(), precision),
-                            "lon": round_coords(tbl.column("lon").to_numpy(), precision),
-                            "way_id": _null_i64(n),
-                            "refs": pd.Series([None] * n, dtype=object),
-                            "tags": pd.Series([None] * n, dtype=object),
-                        }
-                    )
+                yield pd.DataFrame(
+                    {
+                        "kind": np.repeat("osm_node", n),
+                        "node_id": tbl.column("id").to_numpy(),
+                        "lat": round_coords(tbl.column("lat").to_numpy(), precision),
+                        "lon": round_coords(tbl.column("lon").to_numpy(), precision),
+                        "way_id": _null_i64(n),
+                        "refs": pd.Series([None] * n, dtype=object),
+                        "tags": pd.Series([None] * n, dtype=object),
+                    }
                 )
             wmask = kinds == "osm_way"
             if wmask.any():
@@ -132,21 +135,28 @@ def _osm_parse_kernel(precision: int):
                     ]
                 else:
                     tag_dicts = [{} for _ in range(n)]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "kind": np.repeat("osm_way", n),
-                            "node_id": _null_i64(n),
-                            "lat": np.full(n, np.nan),
-                            "lon": np.full(n, np.nan),
-                            "way_id": tbl.column("id").to_numpy(),
-                            "refs": pd.Series(tbl.column("refs").to_pylist(), dtype=object),
-                            "tags": pd.Series(tag_dicts, dtype=object),
-                        }
-                    )
+                # refs as int64 views over the Arrow values buffer instead
+                # of to_pylist(): no per-ref Python int boxing. Null ref
+                # lists (a way span without a refs field) keep the slow
+                # path so None survives as None.
+                rcol = tbl.column("refs").combine_chunks()
+                if rcol.null_count:
+                    refs_arrays = rcol.to_pylist()
+                else:
+                    rvals = rcol.flatten().to_numpy(zero_copy_only=False)
+                    roffs = rcol.offsets.to_numpy()
+                    refs_arrays = np.split(rvals, (roffs[1:-1] - roffs[0]))
+                yield pd.DataFrame(
+                    {
+                        "kind": np.repeat("osm_way", n),
+                        "node_id": _null_i64(n),
+                        "lat": np.full(n, np.nan),
+                        "lon": np.full(n, np.nan),
+                        "way_id": tbl.column("id").to_numpy(),
+                        "refs": pd.Series(refs_arrays, dtype=object),
+                        "tags": pd.Series(tag_dicts, dtype=object),
+                    }
                 )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
 
     return kernel
 
