@@ -541,20 +541,35 @@ def insert_intersections(
     enriched = ways.join(cand.hint("shuffle_hash"), "way_id", "left")
 
     def kernel(batches):
+        # ways WITHOUT candidate points (the vast majority — candidates are
+        # bounded by real crossings) pass through as a column slice with no
+        # per-way Python at all; only candidate-carrying ways run the
+        # insertion loop. Row order within the stage changes (pass-through
+        # block first per batch) — consumed only by joins/aggregations.
         for pdf in batches:
+            cand_col = pdf["cand_pts"]
+            mask = np.fromiter(
+                (c is not None and len(c) > 0 for c in cand_col),
+                dtype=bool,
+                count=len(pdf),
+            )
+            if not mask.all():
+                yield pdf.loc[~mask, ["way_id", "lats", "lons", "tags"]]
+            if not mask.any():
+                continue
+            sub = pdf.loc[mask]
             out = {"way_id": [], "lats": [], "lons": [], "tags": []}
             for way_id, lats, lons, tags, cand_pts in zip(
-                pdf["way_id"], pdf["lats"], pdf["lons"], pdf["tags"], pdf["cand_pts"]
+                sub["way_id"], sub["lats"], sub["lons"], sub["tags"], sub["cand_pts"]
             ):
                 la = np.asarray(lats, dtype=np.float64)
                 lo = np.asarray(lons, dtype=np.float64)
-                if cand_pts is not None and len(cand_pts) > 0:
-                    coords = np.stack([la, lo], axis=1)
-                    pts = np.array(
-                        [[p["plat"], p["plon"]] for p in cand_pts], dtype=np.float64
-                    )
-                    new = insert_points_on_line(coords, pts, tol_deg, precision)
-                    la, lo = new[:, 0], new[:, 1]
+                coords = np.stack([la, lo], axis=1)
+                pts = np.array(
+                    [[p["plat"], p["plon"]] for p in cand_pts], dtype=np.float64
+                )
+                new = insert_points_on_line(coords, pts, tol_deg, precision)
+                la, lo = new[:, 0], new[:, 1]
                 out["way_id"].append(way_id)
                 out["lats"].append(la)
                 out["lons"].append(lo)

@@ -182,18 +182,22 @@ class WaterwayEngine:
         ReusedExchange could not deliver across differently-pruned
         subtrees.
 
-        Two materializations: the raw scan+explode cover lands first, so the
-        resplit's three consumers (per-cell counts, kept branch, re-covered
-        dense branch) each read a columnar scan instead of re-running the
-        explode lineage — the counts pass prunes to the cell column alone."""
+        ONE materialization: the resplit's three consumers (per-cell
+        counts, kept branch, re-covered dense branch) re-run the inline
+        scan+explode lineage — pure JVM codegen over the simplified
+        parquet — inside a single write job. Round 5 materialized the raw
+        cover first so those consumers could read it back, but the 12M-row
+        raw parquet round-trip costs more than the recompute it saves
+        (round-6 event-log A/B at 100k docs: 2313 → 1403 task-s per pass,
+        -39%; guide §1.2 — recompute cheap narrow lineage rather than
+        persist a wide intermediate)."""
         import os
         import time
 
-        from ..operators.geometry_ops import _covered_raw, _covered_resplit
+        from ..operators.geometry_ops import _covered_for_join
 
         t0 = time.time()
-        raw = self._ephemeral_stage("covered_raw", _covered_raw(simplified))
-        out = self._ephemeral_stage("covered", _covered_resplit(raw, self.config))
+        out = self._ephemeral_stage("covered", _covered_for_join(simplified, self.config))
         if os.environ.get("OSMWWE_STAGE_TIMING"):
             print(f"[stage] covered: {time.time() - t0:.2f}s", flush=True)
         # reset the gap timer so the next [gap] line measures plan
