@@ -95,11 +95,19 @@ def word_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFr
 def minhash_signatures(
     shingles: DataFrame, num_perm: int = 32, seed: int = 7
 ) -> DataFrame:
-    """→ (doc_id, sig array<long>): map-side-combinable min over permutations."""
+    """→ (doc_id, sig array<long>): map-side-combinable min over permutations.
+
+    Aggregate expressions are authored as ONE SQL string each (F.expr), not
+    stacked Column ops: the DSL built ~8 py4j round-trips per permutation
+    (~0.5 s of driver-serial plan construction per call at 32 permutations —
+    guide §1.2 / the round-5 _intersect_catalyst lesson). Long arithmetic is
+    exact, so the identical Catalyst tree yields identical signatures."""
     params = _perm_params(num_perm, seed)
-    h = F.pmod(F.col("shingle_hash"), F.lit(_MERSENNE))
+    m = _MERSENNE
     mins = [
-        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
+        F.expr(
+            f"min(pmod({a}L * pmod(shingle_hash, {m}L) + {b}L, {m}L)) AS m{i}"
+        )
         for i, (a, b) in enumerate(params)
     ]
     sig = shingles.groupBy("doc_id").agg(*mins)
@@ -127,19 +135,15 @@ def minhash_lsh_pairs(
     # — scratch parquet, never executor-storage .cache()
     sh = _scratch_stage(word_shingles(docs, text_col, shingle_n), "minhash-shingles")
     sig = minhash_signatures(sh, num_perm, seed)
+    # one SQL string for the whole band array (same tree as the old stacked
+    # struct/hash/slice Columns; SQL hash() IS F.hash, Murmur3 seed 42)
+    band_sql = ", ".join(
+        f"struct(CAST({b} AS INT) AS band, "
+        f"hash(slice(sig, {b * rows + 1}, {rows})) AS bucket)"
+        for b in range(bands)
+    )
     banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(F.slice("sig", b * rows + 1, rows)).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "doc_id", F.explode(F.expr(f"array({band_sql})")).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
     cand = (
         banded.alias("x")
