@@ -37,16 +37,10 @@ def main() -> None:
 
     all_q = EQ.queries()
     names = sys.argv[1:] or [
-        "tile_assign_rollup_proxy",  # placeholder ignored below
+        "agg_stats", "salted_join", "multi_join", "epsilon_pairs",
+        "knn_top1", "exact_dedup", "token_count", "langid", "lsh_ann",
+        "minhash_pairs",
     ]
-    if sys.argv[1:]:
-        names = sys.argv[1:]
-    else:
-        names = [
-            "agg_stats", "salted_join", "multi_join", "epsilon_pairs",
-            "knn_top1", "exact_dedup", "token_count", "langid", "lsh_ann",
-            "minhash_pairs",
-        ]
 
     spark = build_session(cpus)
     runs: dict[str, list[float]] = {}

@@ -550,6 +550,10 @@ def q_knn_top1(spark, sf_dir):
     # the checkpoint Catalyst re-executed the whole ring-join+window subtree
     # for each consumer (round-6 plan audit: three copies of the candidate
     # join in one plan — guide §5 localCheckpoint for reused intermediates).
+    # The checkpointed blocks (≤1 row per query point, ~40 B each) stay
+    # pinned in executor storage for the session — an accepted trade: they
+    # are orders of magnitude smaller than the scratch-parquet alternative's
+    # write cost, unlike the data-sized tables dedup._scratch_stage exists for.
     top = _ring_top1(q, level).localCheckpoint(eager=True)
     resolved = top.where(F.col("dist_m") <= F.lit(guarantee_m))
     residual_q = q.join(resolved.select("qkey"), "qkey", "left_anti")
