@@ -101,6 +101,7 @@ class WaterwayEngine:
         # in event-log analyzers — without it, 86% of a 400k-doc anchor's
         # task time keys to the generic "parquet at <unknown>" callsite
         sc = df.sparkSession.sparkContext
+        prev_desc = sc.getLocalProperty("spark.job.description")
         sc.setLocalProperty("spark.job.description", f"stage-{name}")
         try:
             if self.checkpointer is not None:
@@ -111,7 +112,9 @@ class WaterwayEngine:
             else:
                 out = self._ephemeral_stage(name, df)
         finally:
-            sc.setLocalProperty("spark.job.description", None)
+            # restore the caller's description (ADVICE r5: resetting to None
+            # clobbered any label an outer harness had set for its own jobs)
+            sc.setLocalProperty("spark.job.description", prev_desc)
         if os.environ.get("OSMWWE_STAGE_TIMING"):
             print(f"[stage] {name}: {time.time() - t0:.2f}s", flush=True)
         self._t_prev_stage_end = time.time()

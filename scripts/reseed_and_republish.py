@@ -136,6 +136,11 @@ def main() -> None:
     for name, n in counts.items():
         print(f"merged {name}: {n} records")
     sessions_path = os.path.join(WORK, "scaling_sessions.jsonl")
+    if not os.path.exists(sessions_path):
+        # fresh environment with no session history at all (ADVICE r5):
+        # nothing to republish — merge_logs already reported what it did
+        print("no session history yet; skipping republish")
+        return
     history = [json.loads(l) for l in open(sessions_path) if l.strip()]
     republish_history_table(history)
     republish_supplementary()

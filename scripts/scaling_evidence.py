@@ -505,6 +505,7 @@ def main() -> None:
                             "levels": levels,
                             "no_window": True,
                             "gate_attempts": gate_attempts,
+                            "gate_ratio_effective": GATE_RATIO,
                             "probes_log": "BENCH/work/scaling_probes.jsonl",
                         }
                     )
@@ -599,6 +600,9 @@ def main() -> None:
         "levels": levels,
         "reps": reps,
         "launch_gate_probe": launch_probe,
+        # ADVICE r5: the threshold in force is part of the evidence — record
+        # it on the session itself, not only inside the probe records
+        "gate_ratio_effective": GATE_RATIO,
         "estimator": f"best-per-level over legs with steal<= {STEAL_FLAG_PCT}%",
         # per-leg (adaptive selection may repin between legs)
         "cpusets": {
@@ -760,8 +764,11 @@ def write_baseline_md(sf_dir, levels, factor, runs, results, eff, session) -> No
         f.write("|---|---|---|---|---|---|---|---|---|---|---|\n")
         for s in history:
             if s.get("no_window"):
+                # 11 cells to match the header (ADVICE r5: this writer and
+                # reseed_and_republish.render_history_rows emitted different
+                # widths and the table churned depending on which ran last)
                 f.write(
-                    f"| {s['ts']} | {s['n_docs']} | — | — | — | — | — | — | — | "
+                    f"| {s['ts']} | {s['n_docs']} | — | — | — | — | — | — | — | — | "
                     f"NO-WINDOW (gate held closed {s['gate_attempts']} probes) |\n"
                 )
                 continue

@@ -111,7 +111,10 @@ def main() -> None:
                 sweep = sel.get("sweep") or {}
                 best_core = max(sweep.values()) if sweep else -1.0
                 ratio = (sel.get("gbps", -1.0) / best_core) if best_core > 0 else -1.0
-                open_ = c == 1 or ratio >= GATE_RATIO
+                # scale the threshold with the level (ADVICE r5: the fixed
+                # 4-cpu-calibrated GATE_RATIO could never open for c<4 and
+                # burned attempts x sleep before running anyway)
+                open_ = c == 1 or ratio >= GATE_RATIO * c / 4.0
                 with open(PROBES_LOG, "a") as f:
                     f.write(json.dumps({
                         "ts": time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime()),
@@ -130,6 +133,10 @@ def main() -> None:
                 time.sleep(gate_sleep)
             os.environ["SPARK_GRAFT_DOCS_PATH"] = paths[c]
             r = one_level(c, docs[c], cpuset, sel)
+            # launched-attempt gate state rides on the leg (ADVICE r5: a leg
+            # launched with the window still closed after exhausting attempts
+            # was only visible in the probes log, not the session record)
+            r["launch_window_open"] = open_
             legs[c] = r
             print(
                 f"[weak round {i + 1}/{reps}] cpus={c} docs={docs[c]} "
@@ -154,6 +161,9 @@ def main() -> None:
                 "steal_pct": {str(c): legs[c]["steal_pct"] for c in levels},
                 "traces": {str(c): legs[c].get("trace", {}) for c in levels},
                 "stage_walls": {str(c): legs[c].get("stages", {}) for c in levels},
+                "leg_window_open": {
+                    str(c): legs[c].get("launch_window_open") for c in levels
+                },
                 "interference": interference,
             }
         )
